@@ -1,0 +1,255 @@
+"""Deduplication operators.
+
+The reference's signature operation - 13 instances of pandas
+``drop_duplicates`` / manual first-seen sets (SURVEY.md section 2.5,
+D1-D4) - generalized into the dedup family a training-data pipeline
+needs: exact, keep-first-deterministic, minhash+LSH, simhash, and
+n-gram Jaccard.
+
+Determinism note (SURVEY hard part): pandas ``drop_duplicates`` keeps
+the first row in *current frame order*; Spark's ``dropDuplicates``
+keeps an arbitrary row. Every keep-first here therefore takes an
+explicit ordering and uses ``row_number()`` - reproducible on any
+cluster layout.
+
+Scale notes: all variants are shuffle-on-key aggregations (groupBy or
+window over partitionBy) - they scale horizontally with no driver-side
+state. LSH banding turns the O(N^2) near-dup problem into
+|bucket|-local joins; band/row counts trade recall vs bucket skew. Hash
+functions are md5-based so the DuckDB oracle reproduces signatures
+exactly (Spark's hash() is murmur3, DuckDB's is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from formula1_etl_analytics_project_spark.functions.text import shingles, word_tokens
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """D1: full-row (or key-set) distinct. Map-side partial dedup then a
+    shuffle on the key hash - Spark's hash-aggregate handles it."""
+    return df.distinct() if keys is None else df.dropDuplicates(keys)
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """D2/D3: deterministic keep-first - the pandas
+    ``drop_duplicates(keep='first')`` semantics with the implicit frame
+    order made explicit (reference CompleteETL.py:25-37,431-444)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (training-data pipeline extensions).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_expr(shingle_col: Column, seed: int) -> Column:
+    """One minhash: lexicographic min of md5(seed || shingle).
+
+    String-min rather than numeric-min keeps the signature engine-
+    portable (identical md5 hex in Spark and DuckDB, no 64-bit
+    conversion quirks).
+    """
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """doc -> (id, minhash_0..minhash_{n-1}) signature row."""
+    sh = shingles(text_col, k=shingle_k)
+    sig_cols = [
+        _minhash_expr(sh, seed).alias(f"mh_{seed}") for seed in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: shingle -> minhash signature -> band keys -> self-join on
+    band (candidate generation, only within-bucket pairs materialize)
+    -> exact Jaccard on shingle sets -> threshold filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(text_col, k=shingle_k)
+    base = df.select(
+        F.col(id_col).alias("_id"), sh.alias("_shingles")
+    ).withColumns(
+        {
+            f"mh_{i}": _minhash_expr(F.col("_shingles"), i)
+            for i in range(num_hashes)
+        }
+    )
+    band_exprs = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = base.select("_id", "_shingles", F.explode(F.array(*band_exprs)).alias("band_key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._shingles").alias("sh_a"),
+            F.col("r._shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity within blocking groups.
+
+    ``block_cols`` bounds the O(N^2) pair space (at 100 TB an unblocked
+    self-join is impossible; blocked, each block is an independent
+    local join after one shuffle on the block key)."""
+    sh = shingles(text_col, k=shingle_k)
+    cols = [F.col(id_col).alias("_id"), sh.alias("_sh")] + [
+        F.col(c) for c in (block_cols or [])
+    ]
+    base = df.select(*cols)
+    join_cond = F.col("l._id") < F.col("r._id")
+    for c in block_cols or []:
+        join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = base.alias("l").join(base.alias("r"), join_cond)
+    jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(
+        F.array_union("l._sh", "r._sh")
+    )
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text_col: Column | str, nbits: int = 16) -> Column:
+    """SimHash over word tokens (default 16-bit for oracle
+    portability; 64-bit works the same way, more hex digits).
+
+    Each token votes its md5-derived bits; the signature takes the sign
+    of each bit's vote sum. Pure higher-order functions - no UDF.
+    """
+    toks = word_tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, nbits // 4), 16, 10).cast("long"))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 16,
+    max_hamming: int = 2,
+    band_bits: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded candidate generation: split the
+    signature into ``nbits/band_bits`` bands; a pair differing in <=
+    max_hamming bits must agree exactly on at least one band (pigeonhole
+    when bands > max_hamming), so the self-join runs per band bucket,
+    never all-pairs."""
+    nbands = nbits // band_bits
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col, nbits).alias("_sig"))
+    band_exprs = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.shiftright(F.col("_sig"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .cast("string"),
+        ).alias("band_key")
+        for b in range(nbands)
+    ]
+    banded = sig.select("_id", "_sig", F.explode(F.array(*band_exprs)).alias("band_key"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

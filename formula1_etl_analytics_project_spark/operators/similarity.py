@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (SURVEY.md M6).
+
+Two tiers:
+  * ``brute_force_topk`` - exact cosine top-k: one narrow map over the
+    corpus plus a TakeOrderedAndProject reduction. The correctness
+    baseline; at 100 TB it reads everything but never shuffles more
+    than k rows per partition.
+  * ``ivf_topk`` - IVF-style pruned search: vectors are assigned to
+    their nearest centroid cell at index time; a query probes only its
+    ``nprobe`` nearest cells. Centroids here are deterministic data
+    samples (first-k by id) so the DuckDB oracle can reproduce the
+    assignment; a production index would k-means them - the Spark
+    plumbing (cell column, partition-by-cell layout, cell-pruned scan)
+    is identical.
+  * ``lsh_bucket_topk`` - random-hyperplane LSH bucketing, same idea
+    with sign-bit buckets.
+
+Embedding near-dup dedup composes these: candidate pairs within a cell,
+cosine >= threshold (``embedding_neardup_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from formula1_etl_analytics_project_spark.functions.vectors import cosine, dot, norm
+
+
+def _query_vec(df: DataFrame, id_col: str, vec_col: str, query_id: int):
+    """The query vector as a 1-row broadcastable DataFrame (never a
+    driver-side collect - composes into one distributed plan)."""
+    return F.broadcast(
+        df.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("_qvec")
+        )
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the vector of ``query_id``."""
+    q = _query_vec(df, id_col, vec_col, query_id)
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF index build: each vector joins (broadcast) against all
+    centroids, keeps its argmax-cosine cell. Adds a ``cell`` column."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col(cent_id)
+    )
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", cosine(F.col(vec_col), F.col(cent_vec)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(df["*"], F.col(cent_id).alias("cell"))
+    )
+
+
+def sample_centroids(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid pick: the n lowest-id vectors. Stands in
+    for k-means so tests/oracle are reproducible."""
+    return (
+        df.orderBy(id_col)
+        .limit(n)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's ``nprobe`` nearest
+    cells. At scale the index table is written partitioned by cell, so
+    the probe is a partition-pruned scan of nprobe/n_cells of the data.
+    """
+    centroids = sample_centroids(df, n_cells, id_col, vec_col)
+    indexed = assign_cells(df, centroids, id_col, vec_col)
+    qcells = (
+        indexed.filter(F.col(id_col) == query_id)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("cent_id"),
+            cosine(F.col(vec_col), F.col("cent_vec")).alias("_csim"),
+        )
+        .orderBy(F.col("_csim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    candidates = indexed.join(
+        F.broadcast(qcells), indexed["cell"] == qcells["cent_id"], "left_semi"
+    )
+    q = _query_vec(df, id_col, vec_col, query_id)
+    scored = (
+        candidates.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = concatenated sign bits of the
+    dot product with each hyperplane. ``hyperplanes`` is (hp_id, hp_vec)."""
+    signed = (
+        df.crossJoin(F.broadcast(hyperplanes))
+        .withColumn("_bit", F.when(dot(F.col(vec_col), F.col("hp_vec")) >= 0, "1").otherwise("0"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("hp_id", "_bit"))), lambda s: s["_bit"])
+            ).alias("bucket")
+        )
+    )
+    return df.join(signed, on=id_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, candidate-limited to
+    same-IVF-cell pairs: (id_a, id_b, cos_sim) with id_a < id_b."""
+    centroids = sample_centroids(df, n_cells, id_col, vec_col)
+    indexed = assign_cells(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "cell"
+    )
+    pairs = indexed.alias("l").join(
+        indexed.alias("r"),
+        (F.col("l.cell") == F.col("r.cell")) & (F.col("l._id") < F.col("r._id")),
+    )
+    sim = F.round(cosine(F.col("l._vec"), F.col("r._vec")), 6)
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,3 @@
+from formula1_etl_analytics_project_spark.plans import analytics, catalog, star
+
+__all__ = ["star", "analytics", "catalog"]

@@ -1,0 +1,75 @@
+"""Sources: parquet testdata readers and the wide-F1 CSV reader.
+
+Reference behavior being replaced (SURVEY.md section 2.1):
+  * S1/S3 - ``pd.read_csv`` with inferred schema, re-parsed ~19x across
+    DAGs (``CompleteETL.py:18,51,76,102``). Here: one declared-schema
+    scan; callers cache it when fanning out to many sinks.
+  * S2 - the ``'\\N'`` null sentinel handled ad hoc per DAG
+    (``fpractice_etl.py:17``). Here: the reader's ``nullValue`` option
+    decodes it declaratively so Catalyst sees real nulls (null-aware
+    filter pushdown keeps working).
+
+Scale notes: parquet scans get column pruning + predicate pushdown from
+Catalyst for free; scan parallelism comes from file splits
+(maxPartitionBytes), so nothing here limits a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from formula1_etl_analytics_project_spark.schemas import (
+    TESTDATA_TABLES,
+    WIDE_F1_SCHEMA,
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table.
+
+    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark
+    surfaces as a raw long under ``spark.sql.legacy.parquet.nanosAsLong``.
+    Convert with integer division (``div 1000``) - floating-point
+    division at 1e18 nanoseconds loses microsecond precision - which
+    matches DuckDB's truncating nanos->micros read bit-for-bit.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Expose every testdata table as a temp view for the SQL surface
+    (SURVEY.md EP3: the reference's only query layer is raw SQL)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_wide_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the wide denormalized F1 CSV (66-column contract,
+    SURVEY.md section 1.5) with the ``'\\N'`` sentinel decoded at the
+    source and a declared schema (no inference pass).
+
+    ``_row_id`` captures file order: pandas ``drop_duplicates`` keeps
+    the first row *in file order* (SURVEY D2 hard part), so downstream
+    keep-first dedup needs an explicit tiebreaker column.
+    """
+    df = spark.read.csv(
+        path,
+        header=True,
+        schema=WIDE_F1_SCHEMA,
+        nullValue="\\N",
+        mode="PERMISSIVE",
+    )
+    return df.withColumn("_row_id", F.monotonically_increasing_id())

@@ -1,0 +1,66 @@
+"""Sinks: batch parquet writes and the merge-on-key upsert.
+
+Reference behavior being replaced (SURVEY.md section 2.1/2.4):
+  * S4/S5 - one string-built ``INSERT`` per row executed through a
+    fresh ``MsSqlOperator`` (``driver_etl.py:87-96``) - the reference's
+    dominant perf bug. Here: a single distributed columnar write.
+  * S6 - idempotent reset via ``DELETE FROM`` x14 (``DDL
+    Final.sql:338-352``) -> ``mode='overwrite'``.
+  * J3 - the orphaned ``MERGE INTO`` upsert experiment
+    (``__pycache__/resultssss.cpython-38.pyc``) -> left-anti join of
+    existing rows against incoming keys, then union-append. With plain
+    parquet (no Delta in this image) the merge materializes a new
+    snapshot; on Delta/Iceberg the same logical plan becomes MERGE.
+
+Scale notes: ``partition_by`` should be a low-cardinality natural key
+(e.g. year) so 100 TB writes produce prunable directories; the upsert
+shuffles both sides by the key - at scale, bucketing the base table on
+the merge key turns that into a shuffle-free join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge-on-key: incoming rows win; existing rows survive only when
+    their key is absent from incoming. Logical twin of SQL MERGE
+    (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) for full-row
+    updates.
+    """
+    survivors = existing.join(
+        incoming.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    return survivors.unionByName(incoming)
+
+
+def upsert_parquet(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+) -> DataFrame:
+    """foreachBatch-compatible incremental load onto a parquet snapshot."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    merged = incoming if existing is None else upsert(existing, incoming, keys)
+    # Parquet cannot overwrite in place while reading; stage via cache.
+    merged = merged.cache()
+    merged.count()
+    write_parquet(merged, path, mode="overwrite")
+    return merged
