@@ -23,6 +23,7 @@ exactly (Spark's hash() is murmur3, DuckDB's is not).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from formula1_etl_analytics_project_spark.functions.text import shingles, word_tokens
 
@@ -98,13 +99,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(text_col, k=shingle_k)
-    base = df.select(
-        F.col(id_col).alias("_id"), sh.alias("_shingles")
-    ).withColumns(
-        {
-            f"mh_{i}": _minhash_expr(F.col("_shingles"), i)
-            for i in range(num_hashes)
-        }
+    # Persist the signature table: without a materialization boundary,
+    # Catalyst's projection collapse inlines the shingle expression into
+    # all num_hashes minhash expressions AND both sides of the self-join
+    # (~16x recompute, measured 9x slower). At cluster scale this
+    # boundary is the signature index written to parquet; locally a
+    # spill-safe cache is the same plan shape.
+    base = (
+        df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+        .withColumns(
+            {
+                f"mh_{i}": _minhash_expr(F.col("_shingles"), i)
+                for i in range(num_hashes)
+            }
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_exprs = [
         F.concat_ws(
@@ -159,7 +168,9 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col).alias("_id"), sh.alias("_sh")] + [
         F.col(c) for c in (block_cols or [])
     ]
-    base = df.select(*cols)
+    # Same materialization boundary as minhash: shingles feed both join
+    # sides, so compute them once.
+    base = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     join_cond = F.col("l._id") < F.col("r._id")
     for c in block_cols or []:
         join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
@@ -220,7 +231,9 @@ def simhash_pairs(
     when bands > max_hamming), so the self-join runs per band bucket,
     never all-pairs."""
     nbands = nbits // band_bits
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col, nbits).alias("_sig"))
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col, nbits).alias("_sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_exprs = [
         F.concat_ws(
             "|",

@@ -22,6 +22,7 @@ cosine >= threshold (``embedding_neardup_pairs``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from formula1_etl_analytics_project_spark.functions.vectors import cosine, dot, norm
 
@@ -165,8 +166,12 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, candidate-limited to
     same-IVF-cell pairs: (id_a, id_b, cos_sim) with id_a < id_b."""
     centroids = sample_centroids(df, n_cells, id_col, vec_col)
-    indexed = assign_cells(df, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "cell"
+    # Persist the cell index: it feeds both sides of the self-join (the
+    # local analog of the IVF index written partitioned-by-cell).
+    indexed = (
+        assign_cells(df, centroids, id_col, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = indexed.alias("l").join(
         indexed.alias("r"),

@@ -669,7 +669,7 @@ _SQL_PUNCT_RATIO = (
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + length accounting."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         token_count("text").cast("int").alias("n_tokens"),
@@ -693,7 +693,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / stopword density /
     punctuation noise) - the filter stage of a training-data pipeline."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -709,7 +709,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language ID heuristic."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", "lang", lang_guess("text").alias("lang_guess"))
 
 
@@ -725,7 +725,7 @@ def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized text."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
@@ -745,7 +745,7 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via fingerprint hash-groupBy: keeper = min doc_id.
     The distributed form of D1 for documents (no full-text shuffle -
     only the 32-byte fingerprint moves)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select("doc_id", fingerprint("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -807,7 +807,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection: shingle -> 8 md5 minhashes
     -> 4 bands -> within-bucket candidate join -> exact Jaccard >= 0.5.
     The O(N^2) pair space never materializes - only same-band pairs."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(
         docs, num_hashes=8, bands=4, shingle_k=3, jaccard_threshold=0.5
     )
@@ -851,7 +851,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 - the ANN correctness
     baseline. Scan + narrow map + TakeOrderedAndProject; zero shuffle
     of vector payloads."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return brute_force_topk(emb, query_id=0, k=10)
 
 
@@ -864,7 +864,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: probe 2 of 8 cells instead of the full corpus -
     the scale path (partition-pruned scan at 100 TB)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=2)
 
 
@@ -875,7 +875,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within IVF cells."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return embedding_neardup_pairs(emb, threshold=0.9, n_cells=8)
 
 

@@ -28,7 +28,9 @@ from formula1_etl_analytics_project_spark.schemas import (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one driver testdata table.
 
     ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark
@@ -36,10 +38,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Convert with integer division (``div 1000``) - floating-point
     division at 1e18 nanoseconds loses microsecond precision - which
     matches DuckDB's truncating nanos->micros read bit-for-bit.
+
+    ``spread=True`` repartitions a scan that has fewer splits than the
+    cluster has cores. Use it for compute-heavy per-row work (shingling,
+    vector math) over small single-file inputs: a one-row-group parquet
+    file yields ONE scan task, serializing the expensive map. At real
+    scale the corpus is many files and the scan parallelizes for free -
+    this only compensates for testdata file layout.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
