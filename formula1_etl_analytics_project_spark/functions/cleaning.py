@@ -59,7 +59,7 @@ def parse_race_time_seconds(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     gap = c.startswith("+")
     gap_seconds = F.regexp_replace(c, r"^\+", "").try_cast("double")
-    clock_ok = c.rlike(r"^\d{1,2}:\d{2}:\d{2}(\.\d+)?$")
+    clock_ok = c.rlike(r"^\d{1,2}:[0-5]\d:[0-5]\d(\.\d+)?$")
     return (
         F.when(gap, gap_seconds)
         .when(clock_ok, _hms_to_fractional_seconds(c))
@@ -97,6 +97,8 @@ def parse_race_time_pandas_udf(s: pd.Series) -> pd.Series:
                 total = float(v[1:])
             else:
                 h, m, sec = v.split(":")
+                if not (0 <= int(m) < 60 and 0 <= float(sec) < 60):
+                    return None
                 total = int(h) * 3600 + int(m) * 60 + float(sec)
         except (ValueError, TypeError):
             return None

@@ -196,24 +196,37 @@ def simhash64(text_col: Column | str, nbits: int = 16) -> Column:
     of each bit's vote sum. Pure higher-order functions - no UDF.
     """
     toks = word_tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, nbits // 4), 16, 10).cast("long"))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(nbits - 1)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, nbits // 4), 16, 10).cast("long"),
+    )
+    # One pass over the token hashes, accumulating all per-bit votes in
+    # an array state (vs nbits separate aggregates re-hashing the text).
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            lambda a, b: a + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(nbits - 1)),
-            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
+    # Set bit b as 2^b (exact in double for b < 53; nbits is 16 or 32
+    # here - a 64-bit variant would use two 32-bit halves). Each bit
+    # contributes once, so sum == bitwise OR.
+    return (
+        F.aggregate(
+            F.zip_with(
+                bit_votes,
+                F.sequence(F.lit(0), F.lit(nbits - 1)),
+                lambda vote, b: F.when(vote > 0, F.pow(F.lit(2.0), b)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("long")
     )
 
 

@@ -1,0 +1,95 @@
+"""Structured Streaming layer (SURVEY.md section 2.9 + M6).
+
+The reference is batch-only (daily full reload), but its orphaned
+``MERGE INTO`` experiment shows intended incremental load. Here both
+shapes are first-class:
+
+  * ``windowed_event_counts`` - watermarked tumbling-window aggregation
+    over an event stream (late data dropped past the watermark; state
+    bounded).
+  * ``incremental_upsert_stream`` - ``foreachBatch`` merge of each
+    micro-batch into a parquet snapshot via the same anti-join+union
+    upsert the batch layer uses (sources.sinks.upsert) - exactly-once
+    per-key semantics on top of an append stream.
+
+Scale notes: watermarks bound state store size (without one, a
+groupBy-window over an unbounded stream grows state forever). The
+foreachBatch upsert rewrites the snapshot per batch - fine for
+dimension-sized sinks; a 100 TB fact sink would use Delta/Iceberg
+MERGE (row-level) instead, same logical plan.
+
+Tests drive these with a file source over the events testdata +
+``processAllAvailable()`` so a batch of rows runs the streaming query
+to completion synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+from formula1_etl_analytics_project_spark.sources.sinks import upsert, write_parquet
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events-shaped parquet. The testdata
+    events file stores TIMESTAMP(NANOS) which file streaming cannot
+    read directly; callers stage a micro-second copy first (tests do),
+    or point this at any events-schema directory."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark
+    bounding state (and dropping data later than ``watermark``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def incremental_upsert_stream(
+    events: DataFrame,
+    snapshot_path: str,
+    keys: list[str] | None = None,
+):
+    """foreachBatch incremental load: merge each micro-batch into the
+    parquet snapshot (new keys insert, existing keys update). Returns
+    the StreamingQuery; caller awaits/stops it."""
+    keys = keys or ["event_id"]
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(snapshot_path)
+        except Exception:
+            existing = None
+        merged = batch if existing is None else upsert(existing, batch, keys)
+        merged = merged.localCheckpoint()  # cut lineage before overwrite
+        write_parquet(merged, snapshot_path, mode="overwrite")
+
+    return (
+        events.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

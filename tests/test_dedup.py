@@ -1,0 +1,87 @@
+"""Dedup operator tests: deterministic keep-first, and the near-dup
+family (minhash+LSH, simhash, n-gram Jaccard) on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_etl_analytics_project_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep green forest to find some food for the long winter"
+)
+NEAR = BASE.replace("green", "dark")  # one token changed
+FAR = (
+    "completely different content about spark query engines and "
+    "distributed columnar execution with shuffles and partitions"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),          # near-dup of 1
+        (3, FAR),
+        (4, BASE),          # exact dup of 1
+        (5, FAR + " extra tail words here"),  # near-dup of 3
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert dedup_exact(df).count() == 2
+    assert dedup_exact(df, ["k"]).count() == 2
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "first"), (1, 20, "second"), (2, 5, "only")],
+        ["k", "ord", "v"],
+    )
+    # run repeatedly with different partition layouts - result stable
+    for n in (1, 3, 7):
+        out = {
+            r["k"]: r["v"]
+            for r in dedup_keep_first(df.repartition(n), ["k"], ["ord"]).collect()
+        }
+        assert out == {1: "first", 2: "only"}
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert (3, 5) in pairs
+    assert not any({a, b} == {1, 3} for a, b in pairs)  # unrelated docs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical text -> identical signature
+    assert (1, 2) in pairs  # near dup within hamming budget
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,62 @@
+"""Structured Streaming tests: the windowed aggregation matches its
+batch twin, and the foreachBatch upsert converges to the batch upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+from formula1_etl_analytics_project_spark.streaming.pipeline import (
+    incremental_upsert_stream,
+    read_event_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Stage the events table as micro-second parquet files (several
+    files so the stream sees multiple micro-batches)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expected = {(r["h"], r["event_type"]): r["n"] for r in batch}
+    assert got == expected
+
+
+def test_incremental_upsert_stream(spark, event_dir, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap") / "events_snapshot")
+    stream = read_event_stream(spark, event_dir)
+    q = incremental_upsert_stream(stream, snap, keys=["event_id"])
+    q.awaitTermination()
+
+    merged = spark.read.parquet(snap)
+    source = spark.read.parquet(event_dir)
+    assert merged.count() == source.count()
+    assert merged.select("event_id").distinct().count() == source.count()
