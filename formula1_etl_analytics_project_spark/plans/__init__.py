@@ -1,3 +1,3 @@
-from formula1_etl_analytics_project_spark.plans import analytics, catalog, star
+from formula1_etl_analytics_project_spark.plans import analytics, catalog, catalog_ext, star
 
-__all__ = ["star", "analytics", "catalog"]
+__all__ = ["star", "analytics", "catalog", "catalog_ext"]

@@ -1,0 +1,426 @@
+"""Catalog extensions: the remaining SURVEY.md section 2 operator
+families (null-sentinel cleaning S2/F5/F6, all-null row drops F1/F4,
+time formatting C1/C4/C5, set ops, surrogate keys P5, cube, the SQL
+surface EP3) plus engine extras the reference lacks but a Spark user
+expects (as-of join, exact distinct counts, a genuine Structured
+Streaming entry, multimodal feature extraction).
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from formula1_etl_analytics_project_spark.functions.cleaning import parse_time
+from formula1_etl_analytics_project_spark.plans.catalog import (
+    _dsum,
+    _register,
+    _sql_dsum,
+)
+from formula1_etl_analytics_project_spark.sources.readers import read_table, register_views
+
+# ===========================================================================
+# Null handling (S2 sentinel decode, F1/F4 null-row drops, F5 defaults)
+# ===========================================================================
+
+
+@_register(
+    "null_sentinel_clean",
+    r"""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(TRY_CAST(NULLIF(NULLIF(raw, '\N'), 'garbage') AS INT), 0)
+             AS qty_clean
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_discount < 0.02 THEN '\N'
+                  WHEN l_discount > 0.09 THEN 'garbage'
+                  ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS raw
+      FROM lineitem
+    )
+    """,
+    tags=("scalar", "filter"),
+)
+def q_null_sentinel_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""S2+F5+F6: the reference's '\N' sentinel / garbage handling
+    (fpractice_etl.py:17, quali_etl.py:57) - sentinels synthesized from
+    testdata, decoded to NULL, permissively cast, defaulted to 0."""
+    li = read_table(spark, sf_dir, "lineitem")
+    raw = (
+        F.when(F.col("l_discount") < 0.02, F.lit(r"\N"))
+        .when(F.col("l_discount") > 0.09, F.lit("garbage"))
+        .otherwise(F.col("l_quantity").cast("int").cast("string"))
+    )
+    cleaned = F.coalesce(
+        F.nullif(F.nullif(raw, F.lit(r"\N")), F.lit("garbage")).try_cast("int"),
+        F.lit(0),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", cleaned.alias("qty_clean")
+    )
+
+
+@_register(
+    "drop_allnull_rows",
+    """
+    SELECT COALESCE(a, 'NULL') AS a, COALESCE(b, 'NULL') AS b,
+           COUNT(*) AS n
+    FROM (
+      SELECT NULLIF(o_orderstatus, 'O') AS a,
+             NULLIF(o_orderpriority, '1-URGENT') AS b
+      FROM orders
+    )
+    WHERE a IS NOT NULL OR b IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("filter",),
+)
+def q_drop_allnull_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4: drop rows where ALL of a null-subset is null (the
+    free-practice all-null drop, fpractice_etl.py:47; the both-null
+    time skip, CompleteETL.py:694-696)."""
+    orders = read_table(spark, sf_dir, "orders")
+    sparse = orders.select(
+        F.nullif("o_orderstatus", F.lit("O")).alias("a"),
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("b"),
+    )
+    kept = sparse.na.drop(how="all", subset=["a", "b"])
+    return (
+        kept.groupBy(
+            F.coalesce("a", F.lit("NULL")).alias("a"),
+            F.coalesce("b", F.lit("NULL")).alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# Time formatting (C1 parse, C4 millisecond, C5 microsecond)
+# ===========================================================================
+
+
+@_register(
+    "time_formats",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 97 <> 0
+                THEN strftime(ts, '%H:%M:%S') END AS parsed_time,
+           strftime(ts, '%H:%M:%S.%g') AS time_ms,
+           strftime(ts, '%H:%M:%S.%f') AS time_us
+    FROM events
+    """,
+    tags=("scalar", "time"),
+)
+def q_time_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C4/C5: clock-string parse with garbage -> NULL, plus the
+    reference's millisecond (laps) and microsecond (fastest lap)
+    output precisions."""
+    ev = read_table(spark, sf_dir, "events")
+    time_str = F.when(
+        F.col("event_id") % 97 == 0, F.lit("garbage")
+    ).otherwise(F.date_format("ts", "HH:mm:ss"))
+    return ev.select(
+        "event_id",
+        parse_time(time_str).alias("parsed_time"),
+        F.date_format("ts", "HH:mm:ss.SSS").alias("time_ms"),
+        F.date_format("ts", "HH:mm:ss.SSSSSS").alias("time_us"),
+    )
+
+
+# ===========================================================================
+# Set operations / exact distinct counts / surrogate keys / cube
+# ===========================================================================
+
+
+@_register(
+    "set_ops",
+    """
+    SELECT 'only_balance' AS src, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'both' AS src, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    tags=("setop",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL over key sets."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    only_bal = rich.exceptAll(open_.distinct()).distinct()
+    both = rich.intersect(open_)
+    return only_bal.select(F.lit("only_balance").alias("src"), "k").unionAll(
+        both.select(F.lit("both").alias("src"), "k")
+    )
+
+
+@_register(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (expand + two-phase agg in
+    Spark; approx_count_distinct is the scale escape hatch but is not
+    oracle-comparable across engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register(
+    "surrogate_keys",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS seq, s_suppkey, s_name
+    FROM supplier
+    """,
+    tags=("window", "project"),
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the reference's DB sequences (SEQ_laps_id) as deterministic
+    row_number over an explicit total order. A global window serializes
+    one pass - acceptable for dimension-sized tables; fact-scale
+    surrogate keys use zipWithIndex/monotonically_increasing_id."""
+    sup = read_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_suppkey")
+    return sup.select(
+        F.row_number().over(w).alias("seq"), "s_suppkey", "s_name"
+    )
+
+
+@_register(
+    "cube_year_status",
+    f"""
+    SELECT COALESCE(CAST(y AS VARCHAR), 'ALL') AS order_year,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n, {_sql_dsum('o_totalprice', 'total')}
+    FROM (SELECT year(o_orderdate) AS y, o_orderstatus, o_totalprice
+          FROM orders)
+    GROUP BY CUBE (y, o_orderstatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_cube_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status) - all four grouping sets (the Power BI
+    matrix with both margins)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").alias("y"), "o_orderstatus", "o_totalprice"
+    )
+    return (
+        base.cube("y", "o_orderstatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ===========================================================================
+# SQL surface (EP3): the same SQL text through spark.sql and DuckDB
+# ===========================================================================
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+            AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@_register("sql_surface_q3", _Q3_SQL, tags=("sql", "join", "agg"), bench=True)
+def q_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: the engine's SQL entry point - the exact same SQL text runs
+    through spark.sql (over registered temp views) and the DuckDB
+    oracle. TPC-H Q3 shape: selective dim filter -> fact join -> top-10."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# ===========================================================================
+# As-of join (engine extra: Spark has no native one - composed from
+# union + last-non-null window; DuckDB's native ASOF JOIN is the oracle)
+# ===========================================================================
+
+
+@_register(
+    "asof_join",
+    """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, ord.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN ord
+      ON e.user_id = ord.o_custkey AND ord.o_orderdate <= e.ts
+    """,
+    tags=("join", "time"),
+    bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of the same user
+    at-or-before its timestamp.
+
+    Spark lacks a native as-of join; this is the union-window
+    composition: tag both sides, union, per-key time-ordered window,
+    ``last(value, ignorenulls)`` carries the most recent order forward,
+    then keep only event rows. One shuffle on the key - same cost
+    shape as a regular join; no per-group pandas (merge_asof) needed.
+    Orders are pre-deduped to one per (custkey, date) so 'latest' is
+    well-defined on both engines.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    ord_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = ord_d.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    # at equal timestamps the order row sorts first (is_event asc), so
+    # an order AT the event time is visible to it (ASOF <= semantics)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "last_orderkey"
+    )
+
+
+# ===========================================================================
+# Structured Streaming as a first-class catalog entry
+# ===========================================================================
+
+
+@_register(
+    "stream_windowed_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_sql_dsum('value', 'total_value', 6)}
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming execution inside the correctness
+    gate: the events table is staged as files, consumed with
+    readStream (maxFilesPerTrigger=1 -> several micro-batches), and the
+    tumbling-window aggregate's final state must equal the batch SQL
+    twin - the streaming-batch unification Spark promises."""
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{os.path.basename(sf_dir)}"
+    )
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        read_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 years")  # complete-mode: keep all
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "total_value", 6),
+        )
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT win.start AS window_start, event_type, n_events, total_value "
+        f"FROM {name}"
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing in the gate (rows-only: binary decode is stubbed)
+# ===========================================================================
+
+
+@_register("media_features", None, tags=("multimodal",))
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over synthesized binary payloads (document
+    text bytes stand in for image buffers - the container has no codec
+    libs): binary column -> Arrow-batched mapInPandas feature
+    extraction. Rows-only check; exact behavior unit-tested."""
+    from formula1_etl_analytics_project_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+    )
