@@ -870,13 +870,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_neardup",
-    None,  # verified rows-only; exactness covered by unit tests
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           ROUND({_sql_cosine('l.embedding', 'r.embedding')}, 6) AS cos_sim
+    FROM assigned l JOIN assigned r
+      ON l.cell = r.cell AND l.vec_id < r.vec_id
+    WHERE ROUND({_sql_cosine('l.embedding', 'r.embedding')}, 6) >= 0.4
+    """,
     tags=("vector", "dedup", "lsh"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within IVF cells."""
+    """Embedding-cosine near-duplicate pairs within IVF cells. The
+    oracle reproduces the deterministic cell assignment (argmax cosine
+    against the 8 lowest-id centroid samples, ties to lower cent_id),
+    so the cell-blocked candidate generation is checked exactly.
+    Threshold 0.4 is tuned to the synthetic corpus (max pairwise
+    cosine ~0.51) so the check is non-vacuous."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    return embedding_neardup_pairs(emb, threshold=0.9, n_cells=8)
+    return embedding_neardup_pairs(emb, threshold=0.4, n_cells=8)
 
 
 # ===========================================================================

@@ -17,7 +17,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from formula1_etl_analytics_project_spark.functions.cleaning import parse_time
+from formula1_etl_analytics_project_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from formula1_etl_analytics_project_spark.plans.catalog import (
+    _SQL_SHINGLES,
     _dsum,
     _register,
     _sql_dsum,
@@ -397,6 +402,99 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT win.start AS window_start, event_type, n_events, total_value "
         f"FROM {name}"
     )
+
+
+# ===========================================================================
+# Near-dup dedup family completion: n-gram Jaccard + SimHash
+# (minhash+LSH and exact dedup live in catalog.py)
+# ===========================================================================
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH normed AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, lang, source, {_SQL_SHINGLES} AS sh FROM normed
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+    FROM shingled l JOIN shingled r
+      ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+    WHERE ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(l.sh, r.sh))), 6) >= 0.3
+    """,
+    tags=("text", "dedup"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity within (lang, source) blocks.
+
+    The blocked form of all-pairs similarity: one shuffle on the block
+    key, then each block is an independent local self-join - pair count
+    scales with sum(|block|^2), not N^2, so the operator survives a
+    100x corpus scale-up as long as blocks stay bounded."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], shingle_k=3, threshold=0.3
+    )
+
+
+_SQL_HEX4 = (
+    "CAST((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS BIGINT)"
+)
+
+
+@_register(
+    "simhash_pairs",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(lower(text), '([^a-z0-9\\s]|[0-9]+)', ' \\1 ', 'g'),
+               '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, list_transform(toks, t -> {_SQL_HEX4}) AS hs FROM toked
+    ), sigs AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN 0 ELSE
+          list_reduce(
+            [CASE WHEN list_reduce(list_transform(hs,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+                     (x, y) -> x + y) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE 0 END
+             FOR b IN [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]],
+            (x, y) -> x + y)
+        END AS sig
+      FROM hashed
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) AS INT) AS hamming
+    FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+    WHERE bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) <= 2
+    """,
+    tags=("text", "dedup", "lsh"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 2 over 16-bit signatures.
+
+    Spark side generates candidates by band buckets (4 bands of 4 bits;
+    pigeonhole: hamming <= 2 < 4 bands forces at least one exact band
+    match, so banding loses nothing) - the oracle checks the equivalent
+    all-pairs form, proving the banded plan is exact, not approximate.
+    The md5-derived token hashes make the signature engine-portable."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    pairs = simhash_pairs(docs, nbits=16, max_hamming=2, band_bits=4)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ===========================================================================
