@@ -36,6 +36,36 @@ def star_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-defeating equi-join: left rows get a random salt in [0, salt),
+    the right side is replicated ``salt`` times, and the join key becomes
+    (key, salt) - a single hot key's rows now spread across ``salt``
+    reducer partitions instead of landing on one straggler.
+
+    Semantically identical to ``left.join(right, on, how)`` (each left
+    row still matches exactly the right rows of its key, via exactly one
+    salt copy). Cost: right side shuffled/broadcast x salt - use for
+    fact-fact joins where one side has pathological key skew AQE's
+    skew-join splitting can't fix (e.g. the skewed side feeds a window,
+    not a join). Inner/left joins only - the replicated right side makes
+    right/full-outer null-matching ambiguous.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salted_left = left.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_left.join(salted_right, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def integrity_violations(
     child: DataFrame, parent: DataFrame, on: str | list[str]
 ) -> DataFrame:

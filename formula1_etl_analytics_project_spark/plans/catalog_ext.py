@@ -21,6 +21,7 @@ from formula1_etl_analytics_project_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from formula1_etl_analytics_project_spark.operators.joins import salted_join
 from formula1_etl_analytics_project_spark.plans.catalog import (
     _SQL_SHINGLES,
     _dsum,
@@ -401,6 +402,37 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT win.start AS window_start, event_type, n_events, total_value "
         f"FROM {name}"
+    )
+
+
+@_register(
+    "skew_salted_join",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {_sql_dsum('l_extendedprice', 'total_price')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact join: the (key, salt) composite spreads any
+    hot key over 8 reducer partitions. The oracle is the PLAIN join -
+    salting must be semantically invisible; only the shuffle layout
+    changes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = salted_join(
+        li.select("l_orderkey", "l_extendedprice"),
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        on="l_orderkey",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("l_extendedprice"), "total_price"),
     )
 
 

@@ -47,6 +47,53 @@ def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFra
     return survivors.unionByName(incoming)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    buckets: int = 8,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write (``bucketBy`` + ``saveAsTable``).
+
+    Two tables co-bucketed on their join key with the same bucket count
+    join WITHOUT a shuffle - each bucket pair joins locally (the plan
+    shows SortMergeJoin with no Exchange). This is the 100 TB answer to
+    repeated fact-fact joins: pay the partitioning once at write time,
+    never again per query. Spark bucketing requires a managed table
+    (plain ``.parquet(path)`` cannot record bucket metadata).
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(buckets, *cols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*scols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink - the batch replacement for the reference's
+    one-INSERT-per-row ``MsSqlOperator`` loop (driver_etl.py:87-96).
+
+    Executors write concurrently with ``batchsize``-row prepared-
+    statement batches; ``num_partitions`` caps the number of concurrent
+    connections. Untestable in this container (no JDBC driver/DB) but
+    the full write path is this one call.
+    """
+    writer = df.repartition(num_partitions) if num_partitions else df
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    writer.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
 def upsert_parquet(
     spark,
     incoming: DataFrame,

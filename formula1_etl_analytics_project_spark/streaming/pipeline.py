@@ -25,7 +25,11 @@ to completion synchronously.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
 from formula1_etl_analytics_project_spark.sources.sinks import upsert, write_parquet
@@ -64,6 +68,49 @@ def windowed_event_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals
+    carried across micro-batches via ``applyInPandasWithState``.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windowed aggregates can't express (per-key accumulators, custom
+    eviction, decaying counters): user-defined state (a counter + sum
+    here) lives in the state store, each micro-batch's rows arrive as
+    Arrow batches, and the operator emits one updated row per key per
+    batch (output mode ``update``).
+
+    Scale notes: state is partitioned by the grouping key across the
+    cluster and checkpointed incrementally; per-key state is O(1) here
+    so total state grows with distinct users, not events. An
+    unbounded-key stream would add a timeout
+    (``GroupStateTimeout.EventTimeTimeout``) to evict idle keys.
+    """
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

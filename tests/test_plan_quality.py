@@ -60,6 +60,36 @@ def test_no_python_row_udfs_in_oracle_queries(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_cobucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Two tables co-bucketed on the join key join without any
+    Exchange - the write-once/join-many layout the 100 TB design uses
+    for repeated fact-fact joins."""
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+    from formula1_etl_analytics_project_spark.sources.sinks import write_bucketed
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, "bkt_lineitem", "l_orderkey", buckets=4, sort_by="l_orderkey")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", buckets=4, sort_by="o_orderkey")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            spark.table("bkt_lineitem")["l_orderkey"]
+            == spark.table("bkt_orders")["o_orderkey"],
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_dedup_uses_single_shuffle_with_partial_limit(spark):
     plan = _plan(spark, "dedup_first_order")
     # window keep-first = exactly one exchange (hash by key)

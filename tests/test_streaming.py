@@ -10,6 +10,7 @@ from formula1_etl_analytics_project_spark.sources.readers import read_table
 from formula1_etl_analytics_project_spark.streaming.pipeline import (
     incremental_upsert_stream,
     read_event_stream,
+    stateful_user_totals,
     windowed_event_counts,
 )
 
@@ -48,6 +49,44 @@ def test_windowed_counts_match_batch(spark, event_dir):
     )
     expected = {(r["h"], r["event_type"]): r["n"] for r in batch}
     assert got == expected
+
+
+def test_stateful_user_totals_match_batch(spark, event_dir):
+    """The applyInPandasWithState accumulator, after consuming every
+    micro-batch, must agree with the batch groupBy - state carried
+    across batches, not recomputed per batch."""
+    stream = read_event_stream(spark, event_dir)
+    totals = stateful_user_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update-mode memory sink appends one row per key per batch; the
+    # final state per user is its row with the highest n_events.
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM user_totals) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch}
+    assert set(got) == set(expected)
+    for uid in expected:
+        assert got[uid][0] == expected[uid][0], uid
+        assert abs(got[uid][1] - expected[uid][1]) < 1e-4, uid
 
 
 def test_incremental_upsert_stream(spark, event_dir, tmp_path_factory):
