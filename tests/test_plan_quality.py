@@ -60,6 +60,32 @@ def test_no_python_row_udfs_in_oracle_queries(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
+    """A year-partitioned parquet layout must turn a year filter into
+    partition pruning (PartitionFilters at the scan, other years never
+    read) - the layout contract the 100 TB fact tables rely on."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+    from formula1_etl_analytics_project_spark.sources.sinks import write_parquet
+
+    path = str(tmp_path_factory.mktemp("orders_by_year"))
+    orders = read_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, path, partition_by=["o_year"])
+
+    filtered = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    # pruning happened: scanned partition count < total partition count
+    n_years = orders.select("o_year").distinct().count()
+    scanned = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    assert scanned.select(F.input_file_name()).distinct().count() < n_years or n_years == 1
+
+
 def test_cobucketed_join_has_no_shuffle(spark, tmp_path_factory):
     """Two tables co-bucketed on the join key join without any
     Exchange - the write-once/join-many layout the 100 TB design uses
