@@ -280,6 +280,72 @@ def q_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q3_SQL)
 
 
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderstatus = 'F')
+"""
+
+
+@_register("exists_decorrelated", _EXISTS_SQL, tags=("sql", "subquery"))
+def q_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface. Catalyst
+    decorrelates both into one semi-join + one anti-join on o_custkey -
+    no per-row subquery execution at any scale (the plan shows two
+    joins, zero subquery nodes)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 0.0)
+        FROM orders WHERE o_custkey = c_custkey) AS total_spend
+FROM customer
+WHERE c_acctbal > 9000
+"""
+
+
+@_register("scalar_subquery", _SCALAR_SUBQ_SQL, tags=("sql", "subquery"))
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (per-customer count + exact-decimal
+    spend). Catalyst rewrites each into a left outer join against a
+    pre-aggregated orders side - one shuffle each, never nested-loop
+    re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_RANGE_JOIN_SQL = """
+SELECT e.user_id, e.event_id, o.o_orderkey,
+       COUNT(*) OVER (PARTITION BY e.user_id) AS n_user_matches
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate + INTERVAL 29 YEAR
+ AND e.ts < o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 30 DAY
+"""
+
+
+@_register("range_join", _RANGE_JOIN_SQL, tags=("join", "time"))
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: events matched to same-user orders within a
+    30-day window, same SQL text on both engines (the +29y shift
+    overlaps the synthetic corpora's date ranges so the check is
+    non-vacuous). The equi key keeps it a hash join (range predicate
+    evaluated post-probe) - the scale-safe form of a range join; a pure
+    range join without an equi key degenerates to nested-loop and is
+    deliberately not offered."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_JOIN_SQL)
+
+
 # ===========================================================================
 # As-of join (engine extra: Spark has no native one - composed from
 # union + last-non-null window; DuckDB's native ASOF JOIN is the oracle)
