@@ -60,6 +60,15 @@ def test_no_python_row_udfs_in_oracle_queries(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_exists_subqueries_decorrelate_to_joins(spark):
+    """Correlated EXISTS / NOT EXISTS must lower to semi/anti joins -
+    no per-row subquery re-execution at any scale."""
+    plan = _plan(spark, "exists_decorrelated")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
 def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
     """A year-partitioned parquet layout must turn a year filter into
     partition pruning (PartitionFilters at the scan, other years never
