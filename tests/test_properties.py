@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the semantics-critical
+operators: the pandas-faithful keep-first dedup, the upsert key
+algebra, and the total (never-throwing) time parser.
+
+These pin behavior on arbitrary inputs, not just the curated fixtures -
+the reference's subtle semantics (SURVEY.md section 7 hard parts) are
+exactly the kind that break on unconsidered shapes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from formula1_etl_analytics_project_spark.operators.dedup import dedup_keep_first
+from formula1_etl_analytics_project_spark.sources.sinks import upsert
+
+SETTINGS = settings(max_examples=20, deadline=None)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key: few values -> collisions
+        st.integers(min_value=-1000, max_value=1000),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_keep_first_matches_pandas(spark, rows):
+    """dedup_keep_first over (key asc, file order) == pandas
+    sort_values(stable).drop_duplicates(keep='first') - the reference's
+    sort-then-dedup move (CompleteETL.py:25-37) on ANY input."""
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).reset_index(names="_row_id")
+    expected = (
+        pdf.sort_values("k", kind="stable")
+        .drop_duplicates("k", keep="first")[["k", "v"]]
+        .sort_values(["k", "v"])
+        .values.tolist()
+    )
+    sdf = spark.createDataFrame(pdf[["k", "v", "_row_id"]])
+    got = (
+        dedup_keep_first(sdf, ["k"], ["k", "_row_id"])
+        .select("k", "v")
+        .orderBy("k", "v")
+        .collect()
+    )
+    assert [[r["k"], r["v"]] for r in got] == expected
+
+
+@given(existing=rows_strategy, incoming=rows_strategy)
+@SETTINGS
+def test_upsert_key_algebra(spark, existing, incoming):
+    """After upsert: key set = union; every incoming key holds exactly
+    the incoming rows; existing rows survive iff their key is absent
+    from incoming (J3 MERGE semantics)."""
+    edf = spark.createDataFrame(pd.DataFrame(existing, columns=["k", "v"]))
+    idf = spark.createDataFrame(pd.DataFrame(incoming, columns=["k", "v"]))
+    merged = upsert(edf, idf, keys=["k"]).collect()
+
+    e_keys = {k for k, _ in existing}
+    i_keys = {k for k, _ in incoming}
+    got_keys = {r["k"] for r in merged}
+    assert got_keys == e_keys | i_keys
+
+    got_pairs = sorted((r["k"], r["v"]) for r in merged)
+    expected_pairs = sorted(
+        [(k, v) for k, v in incoming]
+        + [(k, v) for k, v in existing if k not in i_keys]
+    )
+    assert got_pairs == expected_pairs
+
+
+time_like = st.one_of(
+    st.none(),
+    st.text(max_size=12),
+    st.from_regex(r"[0-9]{1,3}:[0-9]{1,2}:[0-9]{1,2}", fullmatch=True),
+    st.times().map(lambda t: t.strftime("%H:%M:%S")),
+)
+
+
+@given(values=st.lists(time_like, min_size=1, max_size=30))
+@SETTINGS
+def test_parse_time_total_and_shaped(spark, values):
+    """parse_time never throws on arbitrary input (F6 permissive-cast
+    semantics) and every non-null output is HH:mm:ss-shaped; valid
+    clock strings round-trip."""
+    from formula1_etl_analytics_project_spark.functions.cleaning import parse_time
+
+    pdf = pd.DataFrame({"s": pd.array(values, dtype="string")})
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        "s", parse_time(F.col("s")).alias("t")
+    ).collect()
+    import re
+
+    for r in out:
+        if r["t"] is not None:
+            assert re.fullmatch(r"\d{2}:\d{2}:\d{2}", r["t"]), r
+        if r["s"] is not None and re.fullmatch(
+            r"([01]\d|2[0-3]):[0-5]\d:[0-5]\d", r["s"]
+        ):
+            assert r["t"] == r["s"], r
