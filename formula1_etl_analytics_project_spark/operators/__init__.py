@@ -1,8 +1,9 @@
 from formula1_etl_analytics_project_spark.operators import (
     dedup,
+    grouped,
     joins,
     multimodal,
     similarity,
 )
 
-__all__ = ["dedup", "joins", "similarity", "multimodal"]
+__all__ = ["dedup", "grouped", "joins", "similarity", "multimodal"]

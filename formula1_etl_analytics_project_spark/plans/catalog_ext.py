@@ -595,6 +595,66 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+@_register(
+    "interpolate_gaps",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v
+      FROM events
+    ), pos AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS p
+      FROM base
+    ), anch AS (
+      SELECT user_id, event_id, v, p,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        MAX(CASE WHEN v IS NOT NULL THEN p END) OVER (
+          PARTITION BY user_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        FIRST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        MIN(CASE WHEN v IS NOT NULL THEN p END) OVER (
+          PARTITION BY user_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+      FROM pos
+    )
+    SELECT user_id, event_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (p - pp) / (np - pp)
+                      ELSE NULL END, 6) AS v_filled
+    FROM anch
+    """,
+    tags=("udf", "window"),
+)
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (applyInPandas) inside the oracle
+    gate: per-user linear gap-fill of a synthesized-null series. The
+    DuckDB twin states the same semantics with anchor windows (last/
+    first non-null value and position on each side) - proving the
+    pandas kernel computes exactly the declared relational semantics,
+    not something only pandas can check."""
+    from formula1_etl_analytics_project_spark.operators.grouped import interpolate_gaps
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            (F.col("event_id") % 5).isin(1, 2), F.lit(None).cast("double")
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = interpolate_gaps(base, "user_id", "event_id", "v")
+    return filled.select(
+        "user_id", "event_id", F.round("v", 6).alias("v_filled")
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing in the gate (rows-only: binary decode is stubbed)
 # ===========================================================================

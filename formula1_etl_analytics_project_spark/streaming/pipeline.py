@@ -71,6 +71,21 @@ def windowed_event_counts(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop key-duplicates arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) - the
+    streaming form of the D1/D2 dedup family, with state bounded by the
+    watermark instead of growing with the whole key history (which
+    plain ``dropDuplicates`` on a stream would)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running totals
     carried across micro-batches via ``applyInPandasWithState``.

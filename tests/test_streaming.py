@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 from formula1_etl_analytics_project_spark.streaming.pipeline import (
+    dedup_event_stream,
     incremental_upsert_stream,
     read_event_stream,
     stateful_user_totals,
@@ -87,6 +88,29 @@ def test_stateful_user_totals_match_batch(spark, event_dir):
     for uid in expected:
         assert got[uid][0] == expected[uid][0], uid
         assert abs(got[uid][1] - expected[uid][1]) < 1e-4, uid
+
+
+def test_stream_dedup_within_watermark(spark, event_dir, tmp_path_factory):
+    """Each event written twice (two file copies) must survive exactly
+    once through dropDuplicatesWithinWatermark."""
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    src = spark.read.parquet(event_dir)
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    stream = read_event_stream(spark, dup_dir)
+    deduped = dedup_event_stream(stream, keys=["event_id"], watermark="10 years")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
+    assert got["n"] == src.count()
+    assert got["d"] == src.count()
 
 
 def test_incremental_upsert_stream(spark, event_dir, tmp_path_factory):
