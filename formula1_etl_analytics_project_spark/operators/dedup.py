@@ -123,23 +123,33 @@ def minhash_lsh_pairs(
         ).alias("band_key")
         for b in range(bands)
     ]
-    banded = base.select("_id", "_shingles", F.explode(F.array(*band_exprs)).alias("band_key"))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
+    # Candidate generation shuffles ONLY (id, band_key) - the shingle
+    # arrays (the heavy payload) never enter the band join's exchange.
+    # They are fetched afterwards from the persisted signature table,
+    # which stays dimension-sized relative to the corpus (one row per
+    # doc) and so broadcasts or co-shuffles cheaply.
+    banded = base.select("_id", F.explode(F.array(*band_exprs)).alias("band_key"))
+    cand_ids = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._shingles").alias("sh_a"),
-            F.col("r._shingles").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_lookup = base.select("_id", "_shingles")
+    cand = cand_ids.join(
+        sh_lookup.select(
+            F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        sh_lookup.select(
+            F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
+        ),
+        "id_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
