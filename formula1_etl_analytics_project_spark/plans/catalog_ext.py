@@ -655,6 +655,61 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "token_vocab",
+    """
+    SELECT t AS token, COUNT(*) AS freq FROM (
+      SELECT UNNEST(list_filter(string_split(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+        x -> x <> '')) AS t
+      FROM documents)
+    GROUP BY 1 ORDER BY freq DESC, token LIMIT 100
+    """,
+    tags=("text",),
+)
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode tokens -> frequency table -> top
+    100. The corpus-wide term-count pass every tokenizer training /
+    vocab pruning step needs; explode + hash-agg with map-side partial
+    counts, so the shuffle carries one row per distinct token per
+    partition, not one per token occurrence."""
+    from formula1_etl_analytics_project_spark.functions.text import normalize, tokens
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return (
+        docs.select(F.explode(tokens(normalize("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )
+
+
+@_register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both linearly interpolate, so they agree to
+    rounding). The scale escape hatch is ``approx_percentile``
+    (t-digest sketch, mergeable map-side) - not oracle-comparable
+    across engines, so the exact form is the gate entry."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing in the gate (rows-only: binary decode is stubbed)
 # ===========================================================================
