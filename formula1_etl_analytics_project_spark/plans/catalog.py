@@ -869,6 +869,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lsh_buckets",
+    f"""
+    WITH hp AS (
+      SELECT vec_id AS hp_id, embedding AS hp_vec
+      FROM embeddings ORDER BY vec_id LIMIT 4
+    )
+    SELECT e.vec_id,
+           string_agg(
+             CASE WHEN {_SQL_DOT.format(a='e.embedding', b='hp.hp_vec')} >= 0
+                  THEN '1' ELSE '0' END, ''
+             ORDER BY hp.hp_id) AS bucket
+    FROM embeddings e CROSS JOIN hp
+    GROUP BY e.vec_id
+    """,
+    tags=("vector", "lsh"),
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: bucket = concatenated sign bits
+    of the dot product against each hyperplane (deterministic
+    hyperplanes - the 4 lowest-id vectors - so the oracle reproduces
+    the assignment). The bucket column is the shuffle/partition key for
+    LSH-based ANN: same-bucket vectors are collision candidates."""
+    from formula1_etl_analytics_project_spark.operators.similarity import lsh_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    hp = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hp_vec"))
+    )
+    return lsh_bucket(emb, hp).select("vec_id", "bucket")
+
+
+@_register(
     "embedding_neardup",
     f"""
     WITH cent AS (
