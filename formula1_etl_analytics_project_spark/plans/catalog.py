@@ -744,8 +744,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via fingerprint hash-groupBy: keeper = min doc_id.
     The distributed form of D1 for documents (no full-text shuffle -
-    only the 32-byte fingerprint moves)."""
-    docs = read_table(spark, sf_dir, "documents", spread=True)
+    only the 32-byte fingerprint moves). No spread repartition: md5 is
+    cheap, so shuffling full text to parallelize it costs 2x more than
+    it saves (measured at sf0.1)."""
+    docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", fingerprint("text").alias("fingerprint"))
         .groupBy("fingerprint")

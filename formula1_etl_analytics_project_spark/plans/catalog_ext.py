@@ -656,6 +656,42 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "moving_avg",
+    """
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS ma7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window: 7-row trailing moving average per user
+    timeline (the smoothing pass of any telemetry dashboard). A bounded
+    ROWS frame keeps per-row state O(frame), unlike the unbounded
+    running-total frame - both shapes are one shuffle on the partition
+    key. Tie-broken by event_id so the frame order is total; the sum
+    goes through exact decimal so in-frame accumulation order cannot
+    diverge between engines."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    ma = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast(
+        "double"
+    ) / F.count("*").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(ma, 6).alias("ma7"),
+    )
+
+
+@_register(
     "token_vocab",
     """
     SELECT t AS token, COUNT(*) AS freq FROM (
