@@ -37,6 +37,25 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_approx_sketches_within_bounds(spark):
+    """The sketch-based scale paths (HLL approx_count_distinct,
+    t-digest approx_percentile) must land within their documented error
+    of the exact answers they replace at 100 TB (where exact distinct /
+    exact percentile need a full shuffle the sketches avoid)."""
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.count_distinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_quantity, 0.95)").alias("exact_p"),
+        F.expr("approx_percentile(l_quantity, 0.95, 10000)").alias("approx_p"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.06
+    assert abs(row["approx_p"] - row["exact_p"]) <= 1.0
+
+
 def test_dedup_exact(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
     assert dedup_exact(df).count() == 2
