@@ -1,0 +1,40 @@
+"""End-to-end ETL entry point: fixture CSV -> 15 parquet star tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from formula1_etl_analytics_project_spark.etl import LOAD_ORDER, run_etl
+from tests.f1_fixture import write_csv
+
+
+@pytest.fixture(scope="module")
+def etl_out(spark, tmp_path_factory):
+    csv_path = write_csv(str(tmp_path_factory.mktemp("wide") / "wide.csv"))
+    out = str(tmp_path_factory.mktemp("star_out"))
+    counts = run_etl(spark, csv_path, out)
+    return out, counts
+
+
+def test_all_tables_written_nonempty(spark, etl_out):
+    out, counts = etl_out
+    assert set(counts) == set(LOAD_ORDER)
+    assert all(n > 0 for n in counts.values()), counts
+
+
+def test_sql_surface_over_loaded_star(spark, etl_out):
+    """EP3 over the loaded tables: views registered by run_etl."""
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM results JOIN race ON results.raceId = race.race_id"
+    ).collect()[0]["n"]
+    _, counts = etl_out
+    assert n == counts["results"]
+
+
+def test_rerun_is_idempotent(spark, etl_out, tmp_path_factory):
+    """Overwrite-mode reload (the reference's S6 DELETE-reset) yields
+    identical counts on rerun."""
+    out, counts = etl_out
+    csv_path = write_csv(str(tmp_path_factory.mktemp("wide2") / "wide.csv"))
+    counts2 = run_etl(spark, csv_path, out)
+    assert counts2 == counts
