@@ -656,6 +656,101 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "denormalize_wide",
+    """
+    SELECT l_orderkey, l_linenumber, o_orderdate, o_orderstatus,
+           c_name, n_name AS cust_nation, r_name AS cust_region,
+           p_name, s_name, l_quantity, l_extendedprice
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_orderkey % 100 = 0
+    """,
+    tags=("join",),
+)
+def q_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star -> wide denormalization at ROW level (the reverse of the
+    reference's normalization - SURVEY.md section 1.5 key insight: the
+    engine goes both directions). Six FK joins, every dimension
+    broadcast, fact never shuffles; checked row-by-row, not through an
+    aggregate, so join multiplicity bugs cannot hide. The key filter
+    samples 1% of orders to keep the compared payload bounded."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    wide = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+    )
+    return wide.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "o_orderstatus",
+        "c_name",
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+        "p_name",
+        "s_name",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@_register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    tags=("window", "time"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (30-minute inactivity gap) vs
+    a from-first-principles oracle (lag -> new-session flag -> running
+    sum -> group). Proves the built-in operator implements exactly the
+    textbook sessionization semantics. Same operator works identically
+    in Structured Streaming with a watermark."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@_register(
     "array_agg_orders",
     """
     SELECT c_custkey,
