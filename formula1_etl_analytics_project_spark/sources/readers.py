@@ -46,6 +46,18 @@ def read_table(
     scale the corpus is many files and the scan parallelizes for free -
     this only compensates for testdata file layout.
     """
+    if name == "events":
+        # Defensive: the harness may hand us a session built without
+        # session.get_spark. The conf is runtime-settable; without it a
+        # bare read of the TIMESTAMP(NANOS) file throws
+        # PARQUET_TYPE_ILLEGAL before our ts conversion can run.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # UTC is the engine's declared timezone contract (session.py);
+            # date_format over the converted ts renders in session tz.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
