@@ -898,6 +898,111 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "jsonl_parse",
+    """
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT json_extract_string(j, '$.status') AS status,
+             CAST(json_extract(j, '$.price') AS DOUBLE) AS price
+      FROM (
+        SELECT to_json(struct_pack(k := o_orderkey,
+                                   status := o_orderstatus,
+                                   price := o_totalprice)) AS j
+        FROM orders)
+    )
+    GROUP BY status
+    """,
+    tags=("source", "json"),
+)
+def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured (JSONL) handling: serialize rows to JSON
+    strings, parse them back with a declared schema, aggregate the
+    extracted fields. The JSONL-corpus ingestion shape of a training
+    pipeline; each engine round-trips its own JSON text and the
+    extracted VALUES are compared (the strings themselves differ in
+    key formatting across engines and are never hashed)."""
+    from pyspark.sql import types as T
+
+    orders = read_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    parsed = orders.select(F.from_json(j, schema).alias("r")).select(
+        F.col("r.status").alias("status"), F.col("r.price").alias("price")
+    )
+    return parsed.groupBy("status").agg(
+        F.count("*").alias("n"), _dsum(F.col("price"), "total")
+    )
+
+
+@_register(
+    "csv_sentinel_scan",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_clerk_known
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "scan"),
+)
+def q_csv_sentinel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""S1/S2 in the gate: orders are round-tripped through a staged
+    CSV carrying literal '\N' sentinels (every 7th clerk), re-read with
+    declarative null decode (``nullValue``), and aggregated; the oracle
+    computes the same result directly from the parquet - so the CSV
+    writer, the sentinel decode, and the reader schema are all inside
+    the checked path, exactly the reference's input contract."""
+    stage = _csv_stage(spark, sf_dir)
+    df = (
+        spark.read.csv(
+            stage,
+            header=True,
+            schema="o_orderkey long, o_orderstatus string, clerk string",
+            nullValue=r"\N",
+        )
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("clerk").alias("n_clerk_known"),
+    )
+
+
+def _csv_stage(spark: SparkSession, sf_dir: str) -> str:
+    r"""Stage orders as CSV with '\N' null sentinels (every 7th clerk),
+    deterministic and reused across calls."""
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        orders = read_table(spark, sf_dir, "orders")
+        (
+            orders.select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(F.col("o_orderkey") % 7 == 0, F.lit(r"\N"))
+                .otherwise(F.concat(F.lit("clerk_"), F.col("o_custkey")))
+                .alias("clerk"),
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(stage)
+        )
+    return stage
+
+
 # ===========================================================================
 # Multimodal plumbing in the gate (rows-only: binary decode is stubbed)
 # ===========================================================================
