@@ -1003,6 +1003,63 @@ def _csv_stage(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
+@_register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "udf"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator inside the correctness gate:
+    events stream through applyInPandasWithState in several
+    micro-batches (per-user accumulators live in the state store across
+    batches); the FINAL state per user must equal the batch aggregate -
+    state carried, never recomputed. The pandas-side float sum is
+    rounded to 3 decimals for cross-engine comparison."""
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        stateful_user_totals,
+    )
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        read_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    totals = stateful_user_totals(stream)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update-mode sink holds one row per key per batch; final state =
+    # the row with the highest n_events per user.
+    return spark.sql(
+        f"""
+        SELECT user_id, n_events, ROUND(total_value, 3) AS total_value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM {name})
+        WHERE rn = 1
+        """
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing in the gate (rows-only: binary decode is stubbed)
 # ===========================================================================
