@@ -899,6 +899,46 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "unpivot_metrics",
+    f"""
+    SELECT metric, COUNT(*) AS n, {_sql_dsum('val', 'total', 6)}
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    tags=("project", "reshape"),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns -> long (metric, value)
+    rows - the inverse of pivot_status and the standard reshape before
+    per-metric aggregation. Spark's ``unpivot`` expands in the project
+    operator (no join, no shuffle until the aggregate); the oracle
+    states the same as a UNION ALL."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="raw_metric",
+        valueColumnName="val",
+    )
+    metric = F.when(F.col("raw_metric") == "l_quantity", "quantity").when(
+        F.col("raw_metric") == "l_extendedprice", "extendedprice"
+    ).when(F.col("raw_metric") == "l_discount", "discount").otherwise("tax")
+    return long.groupBy(metric.alias("metric")).agg(
+        F.count("*").alias("n"), _dsum(F.col("val"), "total", 6)
+    )
+
+
+@_register(
     "jsonl_parse",
     """
     SELECT status, COUNT(*) AS n,
