@@ -60,6 +60,23 @@ def test_no_python_row_udfs_in_oracle_queries(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_salted_join_spreads_hot_keys(spark):
+    """The mechanism, not just the semantics: under salting a hot key's
+    rows must occupy multiple (key, salt) shuffle groups."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.operators.joins import salted_join
+
+    # 10k rows, ALL the same key - the pathological skew case.
+    left = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(1, "x")], "k int, tag string")
+    out = salted_join(left, right, on="k", salt=8)
+    assert out.count() == 10_000  # semantics intact
+    salted = left.withColumn("_salt", (F.rand(42) * 8).cast("int"))
+    n_groups = salted.select("k", "_salt").distinct().count()
+    assert n_groups >= 6  # hot key spread over most of the 8 salt groups
+
+
 def test_exists_subqueries_decorrelate_to_joins(spark):
     """Correlated EXISTS / NOT EXISTS must lower to semi/anti joins -
     no per-row subquery re-execution at any scale."""
