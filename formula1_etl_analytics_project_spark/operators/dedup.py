@@ -202,6 +202,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node's label converges to the smallest node id in its component.
+
+    The pairs -> clusters step that turns near-dup DETECTION into
+    actual DEDUPLICATION (keeper = the node whose id equals its
+    cluster label; everything else in the cluster drops).
+
+    Scale notes: each iteration is one shuffle-join of the label table
+    against the (undirected) edge list plus a min-aggregate - the
+    standard large-graph CC pattern; iterations needed = component
+    diameter (tiny for near-dup clusters). ``localCheckpoint`` cuts the
+    growing lineage each round so plans stay bounded. The driver loop
+    only orchestrates; all data work is distributed.
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        )
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = und.join(labels, und["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(text_col: Column | str, nbits: int = 16) -> Column:
     """SimHash over word tokens (default 16-bit for oracle
     portability; 64-bit works the same way, more hex digits).

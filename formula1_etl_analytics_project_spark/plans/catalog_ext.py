@@ -551,10 +551,7 @@ _SQL_HEX4 = (
 )
 
 
-@_register(
-    "simhash_pairs",
-    f"""
-    WITH toked AS (
+_SQL_SIMHASH_SIGS = f"""toked AS (
       SELECT doc_id,
              list_filter(string_split_regex(
                regexp_replace(lower(text), '([^a-z0-9\\s]|[0-9]+)', ' \\1 ', 'g'),
@@ -574,7 +571,13 @@ _SQL_HEX4 = (
             (x, y) -> x + y)
         END AS sig
       FROM hashed
-    )
+    )"""
+
+
+@_register(
+    "simhash_pairs",
+    f"""
+    WITH {_SQL_SIMHASH_SIGS}
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            CAST(bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) AS INT) AS hamming
     FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
@@ -1097,6 +1100,50 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM {name})
         WHERE rn = 1
         """
+    )
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SIMHASH_SIGS},
+    edges AS (
+      SELECT l.doc_id AS src, r.doc_id AS dst
+      FROM sigs l JOIN sigs r ON l.doc_id <> r.doc_id
+      WHERE bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) <= 2
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           CAST(node = MIN(label) AS INT) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> keeper: the step that turns near-dup
+    DETECTION into DEDUPLICATION. SimHash pairs (hamming <= 2) form an
+    edge list; iterative min-label propagation (one shuffle-join + min
+    per round, lineage cut each round) converges to connected
+    components; the keeper is the lowest doc_id per cluster. The oracle
+    states the same fixpoint as a recursive CTE - proving the
+    distributed iteration computes exactly transitive closure."""
+    from formula1_etl_analytics_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    pairs = simhash_pairs(docs, nbits=16, max_hamming=2, band_bits=4)
+    labels = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node")), node_col="node"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
     )
 
 
