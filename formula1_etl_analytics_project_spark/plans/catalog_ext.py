@@ -902,6 +902,52 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "profile_table",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           ROUND(MIN(l_quantity), 6) AS min_val,
+           ROUND(MAX(l_quantity), 6) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount), 6), ROUND(MAX(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+           ROUND(MIN(l_tax), 6), ROUND(MAX(l_tax), 6)
+    FROM lineitem
+    """,
+    tags=("agg", "quality"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the pre-training corpus health check):
+    per-column row/non-null/distinct counts and value ranges, computed
+    in ONE scan - the column stats unpivot into rows so adding a column
+    adds expressions, not passes. The oracle states each column as its
+    own aggregate; equality proves the fused single-pass form."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def stats(c: str):
+        return F.struct(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.round(F.min(c), 6).alias("min_val"),
+            F.round(F.max(c), 6).alias("max_val"),
+        )
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    one_row = li.agg(
+        F.array(*[stats(c) for c in cols]).alias("profile")
+    )
+    return one_row.select(F.explode("profile").alias("s")).select("s.*")
+
+
+@_register(
     "unpivot_metrics",
     f"""
     SELECT metric, COUNT(*) AS n, {_sql_dsum('val', 'total', 6)}
