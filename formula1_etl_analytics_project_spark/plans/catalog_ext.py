@@ -902,6 +902,37 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_token_counts",
+    """
+    SELECT lang,
+           CAST(SUM(len(list_filter(string_split_regex(
+             regexp_replace(lower(text), '([^a-z0-9\\s]|[0-9]+)', ' \\1 ', 'g'),
+             '\\s+'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> ''))) AS BIGINT) AS n_ws_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per language with BOTH tokenizers the brief
+    calls for: the BPE-ish regex (letter runs / digit runs / single
+    punctuation as separate tokens - functions.text.word_tokens) and
+    plain whitespace. The ratio between the two is the
+    punctuation/number density signal corpus curation uses."""
+    from formula1_etl_analytics_project_spark.functions.text import (
+        tokens,
+        word_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(word_tokens("text"))).alias("n_bpe_tokens"),
+        F.sum(F.size(tokens("text"))).alias("n_ws_tokens"),
+    )
+
+
+@_register(
     "profile_table",
     """
     SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
