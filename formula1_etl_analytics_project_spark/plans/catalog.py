@@ -859,13 +859,43 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_ivf",
-    None,  # plan-equivalence is vector-math heavy; verified rows-only +
-    # against brute force in tests/test_similarity.py
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+    ), qcells AS (
+      SELECT c.cent_id
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id = 0
+      ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+      LIMIT 2
+    )
+    SELECT a.vec_id,
+           ROUND({_sql_cosine('a.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cent_id FROM qcells) AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
     tags=("vector", "lsh"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: probe 2 of 8 cells instead of the full corpus -
-    the scale path (partition-pruned scan at 100 TB)."""
+    the scale path (partition-pruned scan at 100 TB). The whole
+    pipeline is deterministic (sampled centroids, argmax assignment
+    with cent_id tie-break, probe order, top-k tie-break), so the
+    oracle reproduces the approximate search EXACTLY - approximation
+    here is a property of the algorithm, not nondeterminism."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=2)
 
