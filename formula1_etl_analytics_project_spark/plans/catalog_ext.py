@@ -1229,12 +1229,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@_register("media_features", None, tags=("multimodal",))
+_SQL_SHA_BYTE0 = (
+    "((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1))"
+)
+
+
+@_register(
+    "media_features",
+    f"""
+    SELECT doc_id AS media_id,
+           ROUND({_SQL_SHA_BYTE0} / 255.0, 5) AS f0,
+           CAST(8 AS INT) AS dim
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over synthesized binary payloads (document
     text bytes stand in for image buffers - the container has no codec
     libs): binary column -> Arrow-batched mapInPandas feature
-    extraction. Rows-only check; exact behavior unit-tested."""
+    extraction. The stub decode kernel is a sha256 digest, which DuckDB
+    reproduces - so even the Python escape-hatch plumbing (Arrow batch
+    shape, binary handling, schema) is oracle-checked. f0 rounds at 5
+    decimals: the feature column is float32 and 5 is the precision at
+    which float32(k/255) and double k/255 agree for every byte k."""
     from formula1_etl_analytics_project_spark.operators.multimodal import extract_features
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
@@ -1246,6 +1265,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     return feats.select(
         "media_id",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
         F.size("feature").alias("dim"),
     )
