@@ -60,6 +60,29 @@ def test_no_python_row_udfs_in_oracle_queries(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_schema_evolution_merge_on_read(spark, tmp_path_factory):
+    """Schema evolution: a column added in later batches must surface
+    through mergeSchema reads with nulls for the old files - the
+    append-only corpus-growth pattern (new metadata columns appear
+    mid-corpus at 100 TB; rewriting history is not an option)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("evolving"))
+    spark.range(10).select("id", F.lit("v1").alias("tag")).write.parquet(
+        f"{path}/batch=1"
+    )
+    spark.range(10, 20).select(
+        "id", F.lit("v2").alias("tag"), F.lit(0.5).alias("score")
+    ).write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "tag", "score", "batch"}
+    assert merged.count() == 20
+    # old rows surface the new column as NULL, not an error
+    assert merged.filter(F.col("score").isNull()).count() == 10
+    assert merged.filter(F.col("score") == 0.5).count() == 10
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The mechanism, not just the semantics: under salting a hot key's
     rows must occupy multiple (key, salt) shuffle groups."""
