@@ -902,6 +902,81 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scd2_history",
+    """
+    SELECT o_custkey, o_orderdate AS valid_from,
+           COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '9999-12-31 00:00:00')
+             AS valid_to,
+           CAST(LEAD(o_orderdate) OVER w IS NULL AS INT) AS is_current,
+           o_orderstatus AS status
+    FROM (
+      SELECT o_custkey, o_orderdate, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+    tags=("window", "etl"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization: per-customer status versions become
+    (valid_from, valid_to] intervals via LEAD over the change timeline;
+    the open interval gets the 9999 sentinel and is_current = 1. The
+    slowly-changing-dimension pattern the reference's star schema would
+    need for history (it stores only current state). One change per
+    (customer, date) is kept deterministically (max orderkey)."""
+    orders = read_table(spark, sf_dir, "orders")
+    dedup_w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    changes = (
+        orders.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(w)
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().cast("int").alias("is_current"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+@_register(
+    "stratified_cap",
+    """
+    SELECT lang, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 40
+    GROUP BY lang
+    """,
+    tags=("text", "sample"),
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota (stratified cap): keep at most K=40 docs per
+    language by deterministic order - the per-source/per-language
+    balancing step of corpus curation (random sampleBy is not
+    reproducible across engines; a quota over a total order is).
+    Map-side WindowGroupLimit applies rn <= K before the shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    capped = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 40
+    )
+    return capped.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.max("doc_id").alias("max_kept_id")
+    )
+
+
+@_register(
     "bpe_token_counts",
     """
     SELECT lang,
