@@ -45,7 +45,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
         _run_once(spark, fn)  # warm-up: JIT + codegen compile
-        best, n = min(_run_once(spark, fn) for _ in range(2))
+        # best-of-3: the recorded number is steady-state throughput,
+        # not whatever co-tenant load happened to coincide with a run
+        best, n = min(_run_once(spark, fn) for _ in range(3))
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
