@@ -348,3 +348,49 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    holdout: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share at least
+    one k-token shingle with any holdout (benchmark/eval) document.
+
+    The dedup machinery pointed at the train/eval boundary - the check
+    every pre-training corpus needs before a benchmark number means
+    anything. ``holdout`` is a boolean Column over ``df`` selecting the
+    benchmark partition; the rest of ``df`` is the training corpus.
+
+    Returns one row per contaminated training doc:
+    (id_col, n_shingle_hits = distinct overlapping shingles,
+     n_bench_docs = distinct benchmark docs overlapped).
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus
+    (thousands of eval docs vs billions of training docs), so its
+    exploded shingle set is broadcast - the training side streams
+    map-side through the join with NO shuffle of the big exploded
+    relation; the only exchange is the groupBy on the (post-filter,
+    sparse) hit doc ids.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k=shingle_k).alias("_sh"),
+        holdout.alias("_hold"),
+    )
+    hold = base.filter(F.col("_hold")).select(
+        F.col("_id").alias("_bench_id"), F.explode("_sh").alias("_s")
+    )
+    train = base.filter(~F.col("_hold")).select("_id", F.explode("_sh").alias("_s"))
+    return (
+        train.join(F.broadcast(hold), "_s")
+        .groupBy("_id")
+        .agg(
+            F.countDistinct("_s").alias("n_shingle_hits"),
+            F.countDistinct("_bench_id").alias("n_bench_docs"),
+        )
+        .select(F.col("_id").alias(id_col), "n_shingle_hits", "n_bench_docs")
+    )

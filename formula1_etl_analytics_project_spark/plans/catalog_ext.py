@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from formula1_etl_analytics_project_spark.functions.cleaning import parse_time
 from formula1_etl_analytics_project_spark.operators.dedup import (
+    contamination_report,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -1343,3 +1344,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
         F.size("feature").alias("dim"),
     )
+
+
+@_register(
+    "decontaminate_docs",
+    f"""
+    WITH normed AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM normed
+    ), hold AS (
+      SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS s
+      FROM shingled WHERE doc_id % 11 = 0
+    ), train AS (
+      SELECT doc_id, unnest(sh) AS s
+      FROM shingled WHERE doc_id % 11 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.s) AS n_shingle_hits,
+           COUNT(DISTINCT h.bench_id) AS n_bench_docs
+    FROM train t JOIN hold h ON t.s = h.s
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-token
+    shingle with the holdout partition (doc_id % 11 = 0 stands in for
+    the benchmark suite). The eval side is broadcast - at corpus scale
+    the training shingles never shuffle; only the sparse hit ids do."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return contamination_report(docs, holdout=(F.col("doc_id") % 11) == 0)
