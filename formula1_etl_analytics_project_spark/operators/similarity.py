@@ -187,3 +187,55 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_lloyd_centroids(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means: the centroid trainer for the IVF
+    index (``sample_centroids`` is the deterministic stand-in this
+    replaces when real training is wanted).
+
+    Each iteration is two shuffle-bounded relational steps:
+      1. assign: broadcast the k centroids, argmax-cosine per vector
+         (``assign_cells`` - the corpus never shuffles);
+      2. update: per-(cell, dimension) mean via posexplode + hash agg -
+         the only shuffle, k*dim grouped rows.
+
+    Everything is deterministic (first-k seed, cent_id tie-break on
+    assignment, decimal-cast sums for order-independent means), so the
+    whole training loop is reproducible cross-engine. At cluster scale
+    each iteration's centroid table is k*dim doubles - persisted (here)
+    or checkpointed to cut the replayed lineage per round.
+
+    Returns (cent_id, cent_vec array<double>) after ``iters`` updates.
+    """
+    cents = sample_centroids(df, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_cells(df, cents, id_col, vec_col)
+        per_dim = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("_pos", "_val")
+            )
+            .groupBy("cell", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_val").cast("decimal(30,12)")).cast("double")
+                    / F.count("*")
+                ).alias("_cval")
+            )
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_cval"))).alias("_pv"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform("_pv", lambda s: s["_cval"]).alias("cent_vec"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return cents

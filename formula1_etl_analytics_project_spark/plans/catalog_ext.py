@@ -27,6 +27,7 @@ from formula1_etl_analytics_project_spark.plans.catalog import (
     _SQL_SHINGLES,
     _dsum,
     _register,
+    _sql_cosine,
     _sql_dsum,
 )
 from formula1_etl_analytics_project_spark.sources.readers import read_table, register_views
@@ -1379,3 +1380,68 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training shingles never shuffle; only the sparse hit ids do."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     return contamination_report(docs, holdout=(F.col("doc_id") % 11) == 0)
+
+
+_SQL_KMEANS_ASSIGN = """
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN {cent} c)
+      WHERE rn = 1
+"""
+
+_SQL_KMEANS_UPDATE = """
+      SELECT cell, s.pos AS pos,
+             CAST(SUM(CAST(s.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+      FROM (
+        SELECT cell, unnest(list_transform(generate_series(1, len(embedding)),
+                 i -> struct_pack(pos := i, val := embedding[i]))) AS s
+        FROM {assigned})
+      GROUP BY cell, s.pos
+"""
+
+
+@_register(
+    "kmeans_centroids",
+    f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 4
+    ), a1 AS (
+      {_SQL_KMEANS_ASSIGN.format(cos=_sql_cosine('e.embedding', 'c.cvec'), cent='cent0')}
+    ), u1 AS (
+      {_SQL_KMEANS_UPDATE.format(assigned='a1')}
+    ), cent1 AS (
+      SELECT cell AS cent_id, list(cval ORDER BY pos) AS cvec
+      FROM u1 GROUP BY cell
+    ), a2 AS (
+      {_SQL_KMEANS_ASSIGN.format(cos=_sql_cosine('e.embedding', 'c.cvec'), cent='cent1')}
+    ), u2 AS (
+      {_SQL_KMEANS_UPDATE.format(assigned='a2')}
+    )
+    SELECT cell AS cent_id, pos, ROUND(cval, 6) AS c_val FROM u2
+    """,
+    tags=("vector", "iterative"),
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed algorithm: 2 Lloyd iterations of k-means
+    (k=4) training the IVF centroids. The oracle restates BOTH
+    iterations (assign by argmax cosine, per-dimension decimal-exact
+    mean), so the training loop itself is value-checked cross-engine -
+    approximation-free reproducibility of an iterative ML kernel."""
+    from formula1_etl_analytics_project_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    cents = kmeans_lloyd_centroids(emb, k=4, iters=2)
+    return cents.select(
+        "cent_id", F.posexplode("cent_vec").alias("pos0", "_v")
+    ).select(
+        "cent_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round("_v", 6).alias("c_val"),
+    )
