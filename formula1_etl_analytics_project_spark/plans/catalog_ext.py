@@ -23,8 +23,14 @@ from formula1_etl_analytics_project_spark.operators.dedup import (
     simhash_pairs,
 )
 from formula1_etl_analytics_project_spark.operators.joins import salted_join
+from formula1_etl_analytics_project_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+)
 from formula1_etl_analytics_project_spark.plans.catalog import (
+    _SQL_PUNCT_RATIO,
     _SQL_SHINGLES,
+    _SQL_STOP_RATIO,
     _dsum,
     _register,
     _sql_cosine,
@@ -1444,4 +1450,63 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         (F.col("pos0") + 1).alias("pos"),
         F.round("_v", 6).alias("c_val"),
+    )
+
+
+@_register(
+    "quality_filter_docs",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(text) < 50 THEN 'too_short'
+                WHEN {_SQL_STOP_RATIO} < 0.02 THEN 'low_stopword'
+                WHEN {_SQL_PUNCT_RATIO} > 0.10 THEN 'high_punct'
+                ELSE 'ok' END AS verdict
+    FROM documents
+    """,
+    tags=("text", "filter"),
+)
+def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate with rejection reasons - the kept/dropped
+    decision a corpus-curation pipeline records per doc (first failing
+    rule wins, so drop rates per reason are auditable downstream).
+    Ratio thresholds compare int/int divisions, identical doubles in
+    both engines - no rounding needed at the decision boundary."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    verdict = (
+        F.when(F.length("text") < 50, F.lit("too_short"))
+        .when(stopword_ratio("text") < 0.02, F.lit("low_stopword"))
+        .when(punct_ratio("text") > 0.10, F.lit("high_punct"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
+@_register(
+    "grouping_sets_agg",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS prio,
+           COUNT(*) AS n,
+           {_sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS - the general form behind the cube/rollup entries
+    (dashboard matrix totals without 2^n cube blowup: exactly the
+    requested grouping combinations, one Expand + one hash agg)."""
+    orders = read_table(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "revenue"))
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+        "n",
+        "revenue",
     )
