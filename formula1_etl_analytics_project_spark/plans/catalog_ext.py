@@ -1510,3 +1510,44 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "revenue",
     )
+
+
+@_register(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0', '1')
+    """,
+    tags=("filter", "text"),
+)
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli corpus subsample (2/16 = 12.5%) keyed on
+    md5(doc_id) - reproducible across engines, runs, and cluster
+    layouts, unlike rand()-based ``DataFrame.sample``. The standard way
+    a training pipeline pins an eval slice or a debug subcorpus: a
+    narrow filter that pushes to the scan, no shuffle at all."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    return docs.filter(nib.isin("0", "1")).select("doc_id", "lang")
+
+
+@_register(
+    "date_rollup_weekly",
+    f"""
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           COUNT(*) AS n_orders,
+           {_sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "time"),
+)
+def q_date_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: ISO-week rollup via date_trunc (both engines
+    truncate to Monday). The time-dimension aggregation the reference
+    models with its date_dim table, done directly on the fact column."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+    ).agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "revenue"))
