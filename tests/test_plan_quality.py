@@ -172,3 +172,21 @@ def test_dedup_uses_single_shuffle_with_partial_limit(spark):
     # and Spark's WindowGroupLimit kicks in map-side: only 1 row per key
     # per partition reaches the shuffle (the rn=1 filter was pushed)
     assert "row_number(), 1, Partial" in plan
+
+
+def test_decontamination_broadcasts_holdout(spark):
+    """The benchmark side of decontamination is tiny at corpus scale;
+    the exploded training shingles must stream through a broadcast
+    join, never shuffle."""
+    plan = _plan(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Lloyd assignment joins the corpus against k centroid rows - that
+    side must broadcast; a corpus-wide sort-merge join here would be
+    the 100 TB bottleneck."""
+    plan = _plan(spark, "kmeans_centroids")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
