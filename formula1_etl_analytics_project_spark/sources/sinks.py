@@ -35,6 +35,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC twin of ``write_parquet`` - same columnar/pushdown properties
+    through Spark's native ORC source, for sinks that feed Hive/Trino
+    estates standardized on ORC."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """Merge-on-key: incoming rows win; existing rows survive only when
     their key is absent from incoming. Logical twin of SQL MERGE
