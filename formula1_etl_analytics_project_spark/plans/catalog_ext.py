@@ -1551,3 +1551,58 @@ def q_date_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy(
         F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
     ).agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "revenue"))
+
+
+@_register(
+    "window_rank_surface",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+           ROUND(CUME_DIST() OVER w, 9) AS cd,
+           o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface: percent_rank / cume_dist / lag
+    over a total per-customer order (date, then key - ties broken so
+    both engines see one frame order). delta_prev is the
+    order-over-order spend movement a dashboard trendline needs."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w)).alias(
+            "delta_prev"
+        ),
+    )
+
+
+@_register(
+    "listagg_nations",
+    """
+    SELECT r_name AS region_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg",),
+)
+def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation (LISTAGG): sort_array over
+    collect_list then join - collect order is layout-dependent, the
+    explicit sort is what makes the result reproducible on any cluster."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
