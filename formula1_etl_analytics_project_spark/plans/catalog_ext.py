@@ -1606,3 +1606,99 @@ def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+# ===========================================================================
+# Pure range join (no equi key) made scale-safe by bucketing, and the
+# classic local-supplier multi-join (TPC-H Q5 shape)
+# ===========================================================================
+
+_RANGE_BINNED_SQL = f"""
+WITH win AS (
+  SELECT event_id AS window_id,
+         ts - INTERVAL 5 MINUTE AS lo,
+         ts + INTERVAL 5 MINUTE AS hi
+  FROM events ORDER BY value DESC, event_id LIMIT 20
+)
+SELECT w.window_id, COUNT(*) AS n_in_window,
+       {_sql_dsum('e.value', 'window_value', 6)}
+FROM win w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+GROUP BY w.window_id
+"""
+
+_RANGE_BUCKET_S = 300  # bucket width = half the window span
+
+
+@_register("range_join_binned", _RANGE_BINNED_SQL, tags=("join", "time"))
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) via interval bucketing - the scale
+    path `range_join` deliberately refuses. The 20 highest-value events
+    (total tie-break order) define 10-minute windows; every event whose
+    ts falls in a window joins to it. Naively that is a broadcast
+    nested-loop over the full fact. Instead both sides are binned to
+    300 s buckets: each window EXPLODES into the <=3 buckets it
+    overlaps, each probe row belongs to exactly ONE bucket, the join
+    becomes an equi-join on bucket, and the exact [lo, hi) predicate is
+    re-checked post-probe. Each matching pair meets in exactly one
+    bucket, so no dedup is needed. At 100 TB the bucket key shuffles or
+    broadcasts like any other equi key; cost is O(matches), not
+    O(|windows| x |events|). (Bucket width should track the window
+    span: here 300 s yields ceil(600/300)+1 = 3 buckets/window.)"""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    win = (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.expr("ts - INTERVAL 5 MINUTES").alias("lo"),
+            F.expr("ts + INTERVAL 5 MINUTES").alias("hi"),
+        )
+    )
+    win_binned = win.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("lo") / _RANGE_BUCKET_S),
+                F.floor(F.unix_timestamp("hi") / _RANGE_BUCKET_S),
+            )
+        ),
+    )
+    probe = ev.withColumn(
+        "bucket", F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_S)
+    )
+    matched = probe.join(F.broadcast(win_binned), "bucket").filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    return matched.groupBy("window_id").agg(
+        F.count("*").alias("n_in_window"),
+        _dsum(F.col("value"), "window_value", 6),
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name AS nation,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@_register("regional_revenue_q5", _Q5_SQL, tags=("sql", "join", "agg"))
+def q_regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue): six-way join whose
+    c_nationkey = s_nationkey condition CROSSES dimension branches, so
+    join ORDER matters - Catalyst pushes the region/date filters to the
+    scans and the residual nation-match is evaluated at the supplier
+    probe, never as a post-join filter over the full multiplicity. Same
+    SQL text through spark.sql and DuckDB (EP3 surface); decimal-cast
+    SUM for order-independent totals."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
