@@ -190,3 +190,23 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     plan = _plan(spark, "kmeans_centroids")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_binned_range_join_is_hash_not_nested_loop(spark):
+    """The pure range join (no equi key) must compile to a hash join on
+    the synthetic bucket key with the exact [lo,hi) recheck post-probe.
+    A BroadcastNestedLoopJoin here means the binning regressed and the
+    plan is O(|windows| x |events|) at scale."""
+    plan = _plan(spark, "range_join_binned")
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_join_order_keeps_dimensions_broadcast(spark):
+    """Q5's cross-branch nation condition must not force a sort-merge
+    replan: all five dimension joins stay broadcast and the date filter
+    is pushed into the orders scan."""
+    plan = _plan(spark, "regional_revenue_q5")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
