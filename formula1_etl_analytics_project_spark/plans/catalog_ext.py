@@ -1702,3 +1702,29 @@ def q_regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM for order-independent totals."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_NULLSAFE_SQL = """
+WITH o AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS grp_key FROM orders),
+g AS (SELECT grp_key, COUNT(*) AS n_in_group FROM o GROUP BY grp_key)
+SELECT o.o_orderkey, g.n_in_group
+FROM o JOIN g ON o.grp_key IS NOT DISTINCT FROM g.grp_key
+"""
+
+
+@_register("nullsafe_join", _NULLSAFE_SQL, tags=("join", "null"))
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a third
+    of the orders get a NULL-ified key, and joining each row back to
+    its group's size must keep them - a plain equi-join silently drops
+    every NULL-keyed row (4979 rows at sf0.01), so the check is
+    non-vacuous. Spark plans EqualNullSafe as an ordinary hash-join key
+    (coalesced comparison), so the scale cost is identical to an
+    equi-join - no fallback to nested-loop."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("grp_key")
+    )
+    g = o.groupBy("grp_key").agg(F.count("*").alias("n_in_group"))
+    return o.join(
+        F.broadcast(g), o["grp_key"].eqNullSafe(g["grp_key"])
+    ).select("o_orderkey", "n_in_group")
