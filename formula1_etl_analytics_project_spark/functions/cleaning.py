@@ -69,8 +69,14 @@ def parse_race_time_seconds(col: Column | str) -> Column:
 
 def format_seconds(col: Column | str, precision: int = 6) -> Column:
     """Seconds-since-midnight double -> ``HH:mm:ss.SSSSSS`` string
-    (C3's output shape; precision=3 gives C4's millisecond lap form)."""
+    (C3's output shape; precision=3 gives C4's millisecond lap form).
+
+    The value is rounded to ``precision`` BEFORE the hour/minute split
+    so a fractional carry propagates into the minute (59.9999996 @ p6
+    becomes one whole minute), never an invalid ':60.000000' seconds
+    field."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.round(c, precision)
     hours = F.floor(c / 3600).cast("int")
     minutes = F.floor((c % 3600) / 60).cast("int")
     secs = c % 60
@@ -102,6 +108,9 @@ def parse_race_time_pandas_udf(s: pd.Series) -> pd.Series:
                 total = int(h) * 3600 + int(m) * 60 + float(sec)
         except (ValueError, TypeError):
             return None
+        # round BEFORE the split so the carry propagates (59.9999996
+        # is one whole minute, not an invalid :60.000000 field)
+        total = round(total, 6)
         h, rem = divmod(total, 3600)
         m, sec = divmod(rem, 60)
         return f"{int(h):02d}:{int(m):02d}:{sec:09.6f}"

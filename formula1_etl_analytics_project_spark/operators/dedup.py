@@ -130,12 +130,21 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     # The shingle arrays ride through the band join (one exchange of
-    # id+bands+shingles per side). The alternative - join bare ids then
-    # fetch arrays from the index - trades one wide exchange for three
-    # broadcasts of the signature table; measured locally the single-
-    # exchange form is faster and far less variant (broadcast rebuilds
-    # churn driver memory), and at cluster scale the band shuffle is
-    # key-partitioned and spills cleanly.
+    # id+bands+shingles per side). The alternative - join bare
+    # (id, band) pairs, then fetch arrays for surviving candidates from
+    # the persisted index - was A/B-measured at sf0.1 (local[32],
+    # best-of-3 after warm-up, 256 result pairs): arrays-through-
+    # shuffle 6.56s vs join-ids-then-fetch 6.72s - a wash locally,
+    # because the candidate set is small enough that the two extra
+    # index joins cost what the wide exchange saves. At 100 TB the
+    # decision flips on one ratio: bands explode every doc x bands
+    # through the exchange, while candidates are only within-bucket
+    # pairs - when avg shingle bytes x bands >> candidate fraction,
+    # join-ids-then-fetch wins (the band exchange shrinks to ids+keys
+    # and the array fetch is a key-partitioned join against the
+    # signature index, touching only candidate ids). Keep the single-
+    # exchange form as default; switch at scale if bucket selectivity
+    # stays high (it does for near-dup thresholds >= 0.5).
     banded = base.select(
         "_id", "_shingles", F.explode(F.array(*band_exprs)).alias("band_key")
     )
@@ -253,20 +262,39 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a zero-change round means some
+        # component's diameter exceeds the budget: the labels are NOT a
+        # fixpoint and returning them would silently split clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter (rounds needed = max component diameter)"
+        )
     return labels
 
 
-def simhash64(text_col: Column | str, nbits: int = 16) -> Column:
+def simhash64(
+    text_col: Column | str, nbits: int = 16, hex_offset: int = 1
+) -> Column:
     """SimHash over word tokens (default 16-bit for oracle
-    portability; 64-bit works the same way, more hex digits).
+    portability; :func:`simhash64_wide` packs two 32-bit halves for
+    the full 64-bit form).
 
-    Each token votes its md5-derived bits; the signature takes the sign
-    of each bit's vote sum. Pure higher-order functions - no UDF.
+    Each token votes its md5-derived bits (hex digits starting at
+    ``hex_offset`` - the wide variant draws its two halves from
+    disjoint ranges); the signature takes the sign of each bit's vote
+    sum. Pure higher-order functions - no UDF. ``nbits`` must be <= 32
+    so the power-of-two packing stays exact in double.
     """
+    if nbits > 32:
+        raise ValueError("simhash64: nbits > 32 -> use simhash64_wide")
     toks = word_tokens(text_col)
     hashes = F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, nbits // 4), 16, 10).cast("long"),
+        lambda t: F.conv(
+            F.substring(F.md5(t), hex_offset, nbits // 4), 16, 10
+        ).cast("long"),
     )
     # One pass over the token hashes, accumulating all per-bit votes in
     # an array state (vs nbits separate aggregates re-hashing the text).
@@ -298,6 +326,20 @@ def simhash64(text_col: Column | str, nbits: int = 16) -> Column:
     )
 
 
+def simhash64_wide(text_col: Column | str) -> Column:
+    """True 64-bit SimHash: two independent 32-bit halves voting over
+    DISJOINT md5 hex ranges (digits 1-8 and 9-16), packed bitwise into
+    one long - ``hi << 32 | lo``. The packing is integer arithmetic
+    (shiftleft/bitwiseOR on long), so all 64 bits are exact; the sign
+    bit is just bit 63. Hamming distance and band extraction work
+    unchanged: ``bit_count(xor)`` is a 64-bit popcount, and band masks
+    ``(sig >> k) & m`` are sign-safe because the mask discards the
+    sign-extended high bits."""
+    lo = simhash64(text_col, nbits=32, hex_offset=1)
+    hi = simhash64(text_col, nbits=32, hex_offset=9)
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -310,10 +352,18 @@ def simhash_pairs(
     signature into ``nbits/band_bits`` bands; a pair differing in <=
     max_hamming bits must agree exactly on at least one band (pigeonhole
     when bands > max_hamming), so the self-join runs per band bucket,
-    never all-pairs."""
+    never all-pairs. ``nbits=64`` uses the wide two-half signature."""
     nbands = nbits // band_bits
+    if nbands <= max_hamming:
+        raise ValueError(
+            f"banding needs nbits/band_bits > max_hamming for exactness "
+            f"(got {nbands} bands, max_hamming={max_hamming})"
+        )
+    sig_expr = (
+        simhash64_wide(text_col) if nbits == 64 else simhash64(text_col, nbits)
+    )
     sig = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col, nbits).alias("_sig")
+        F.col(id_col).alias("_id"), sig_expr.alias("_sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()  # eager: banding + pair join both read it (see minhash note)
     band_exprs = [

@@ -5,10 +5,14 @@ materialized result of a 10-way join - but join semantics are declared
 in its DDL (FK equi-joins J1, the integrity anti-join J2) and in the
 orphaned MERGE experiment (J3, implemented in sources.sinks.upsert).
 
-Scale notes: dimension sides get explicit ``broadcast()`` hints -
-dims stay broadcastable even at sf10000 (they grow with entities, not
-events), so the fact scan never shuffles for the star join. Fact-fact
-joins rely on AQE for sort-merge vs shuffled-hash and skew splitting;
+Scale notes: only GENUINELY BOUNDED dimensions (nation/region/date -
+fixed by the data model, independent of scale factor) get pinned
+``broadcast()`` hints. customer/part/supplier grow linearly with scale
+factor (TPC-H customer at sf10000 is 1.5B rows), so a pinned hint on
+them is right at sf0.1 and OOMs the driver at sf10000 - those sides go
+through :func:`broadcast_if_small`, which consults Catalyst's size
+estimate and otherwise leaves the strategy to AQE. Fact-fact joins
+rely on AQE for sort-merge vs shuffled-hash and skew splitting;
 pre-bucketing both facts on the join key removes that shuffle entirely
 when the tables are co-bucketed at write time.
 """
@@ -16,6 +20,33 @@ when the tables are co-bucketed at write time.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+# Pinned-broadcast budget: well under any sane driver/executor memory,
+# well over every bounded dim (nation is 25 rows at any sf).
+_BOUNDED_DIM_BYTES = 64 << 20
+
+
+def broadcast_if_small(
+    df: DataFrame, max_bytes: int = _BOUNDED_DIM_BYTES
+) -> DataFrame:
+    """Size-gated broadcast hint for join sides that GROW with scale.
+
+    nation/region/date are bounded by the data model and can carry an
+    unconditional ``broadcast()``. customer/part/supplier grow linearly
+    with scale factor, so a hint that is right at sf0.1 OOMs the driver
+    (or is silently demoted) at sf10000. This helper consults Catalyst's
+    own logical-plan size estimate: under ``max_bytes`` the hint is
+    pinned (guaranteeing the no-fact-shuffle star plan); above it the
+    side is returned unhinted and AQE picks broadcast vs shuffled join
+    from runtime statistics. If no estimate is available the hint is
+    NOT forced - the conservative failure mode.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= max_bytes else df
 
 
 def star_join(
@@ -25,13 +56,14 @@ def star_join(
 ) -> DataFrame:
     """J1: fact joined against each dimension.
 
-    ``dims`` maps a label to (dim_df, key). Dimensions are broadcast by
-    default - the planner would usually pick this anyway, but the hint
-    pins the property the 100 TB design depends on (no fact shuffle).
+    ``dims`` maps a label to (dim_df, key). With ``broadcast_dims``
+    each dimension goes through the size gate (:func:`broadcast_if_small`)
+    - bounded dims get the pinned hint the 100 TB no-fact-shuffle plan
+    depends on; scale-growing dims fall through to AQE.
     """
     out = fact
     for _, (dim, key) in dims.items():
-        d = F.broadcast(dim) if broadcast_dims else dim
+        d = broadcast_if_small(dim) if broadcast_dims else dim
         out = out.join(d, on=key, how="inner")
     return out
 

@@ -1,3 +1,9 @@
-from formula1_etl_analytics_project_spark.plans import analytics, catalog, catalog_ext, star
+from formula1_etl_analytics_project_spark.plans import (
+    analytics,
+    catalog,
+    catalog_etl,
+    catalog_ext,
+    star,
+)
 
-__all__ = ["star", "analytics", "catalog", "catalog_ext"]
+__all__ = ["star", "analytics", "catalog", "catalog_ext", "catalog_etl"]

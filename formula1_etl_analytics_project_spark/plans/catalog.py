@@ -36,6 +36,7 @@ from formula1_etl_analytics_project_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from formula1_etl_analytics_project_spark.operators.joins import (
+    broadcast_if_small,
     integrity_violations,
 )
 from formula1_etl_analytics_project_spark.operators.similarity import (
@@ -295,10 +296,14 @@ def q_order_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: the star FK multi-join (TPC-H Q5 shape). Dimensions are
-    broadcast so the fact table never shuffles for the join; the only
-    shuffle is the final group-by. This is the 10-way wide-table
-    reconstruction pattern (SURVEY section 1.5) at benchmark scale."""
+    """J1: the star FK multi-join (TPC-H Q5 shape). Bounded dims
+    (nation/region - fixed size at any sf) carry pinned broadcast
+    hints; customer GROWS with sf (1.5B rows at sf10000) so it goes
+    through the size gate and falls back to AQE's runtime choice at
+    scale. Locally everything broadcasts and the fact never shuffles
+    for the join; the only shuffle is the final group-by. This is the
+    10-way wide-table reconstruction pattern (SURVEY section 1.5) at
+    benchmark scale."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -306,7 +311,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )

@@ -1,0 +1,217 @@
+"""EP1 as a correctness-gate entry: the reference's flagship
+CompleteETL path (wide CSV -> 15 star-schema parquet tables,
+``CompleteETL.py:974-1042``) executed end-to-end inside the driver
+check, not just unit-tested.
+
+Two entries:
+
+  * ``etl_star_counts`` - run :func:`etl.run_etl` over the
+    deterministic F1-shaped fixture CSV (sources.fixture) and emit
+    (table_name, n_rows) for all 15 tables. The DuckDB oracle restates
+    each table's count from the SAME rows: per-row filters as WHERE,
+    keep-first-in-file-order dedup as ``row_number() OVER (PARTITION
+    BY key ORDER BY _row_id) = 1`` against a rowid-annotated twin of
+    the CSV (DuckDB 1.0 CSV scans have no file_row_number).
+  * ``etl_standings_check`` - a standings recompute read back OFF THE
+    WRITTEN PARQUET (sum of wins / max points per driver joined to the
+    driver dim), so the check covers the sink round-trip, not just the
+    builder plans.
+
+The fixture is scale-independent (sf_dir is ignored); what these rows
+gate is the ETL DAG itself: S2 sentinel decode, D2/D3 keep-first
+dedup, F1-F4 row drops, C1-C5 parses, the P5 surrogate, and the
+15-sink fan-out off one cached scan.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources import fixture
+
+# ---------------------------------------------------------------------------
+# Staging: content-keyed, per-process, cleaned at exit
+# ---------------------------------------------------------------------------
+
+
+def _fixture_fingerprint() -> str:
+    h = hashlib.md5()
+    for r in fixture.make_rows():
+        h.update(repr(sorted(r.items())).encode())
+    return h.hexdigest()[:10]
+
+
+_STAGE = os.path.join(
+    tempfile.gettempdir(),
+    f"spark_graft_etlfix_{_fixture_fingerprint()}_{os.getpid()}",
+)
+_WIDE_CSV = os.path.join(_STAGE, "wide.csv")
+_WIDE_ROWID_CSV = os.path.join(_STAGE, "wide_rowid.csv")
+_STAR_OUT = os.path.join(_STAGE, "star")
+
+
+def _ensure_fixture() -> None:
+    if not os.path.exists(_WIDE_ROWID_CSV):
+        os.makedirs(_STAGE, exist_ok=True)
+        atexit.register(shutil.rmtree, _STAGE, ignore_errors=True)
+        fixture.write_csv(_WIDE_CSV)
+        fixture.write_csv_with_rowid(_WIDE_ROWID_CSV)
+
+
+_ETL_COUNTS: dict[str, int] | None = None
+
+
+def _ensure_etl(spark: SparkSession) -> dict[str, int]:
+    """Run the 15-table ETL once per process (the entries share the
+    written star)."""
+    global _ETL_COUNTS
+    if _ETL_COUNTS is None:
+        from formula1_etl_analytics_project_spark.etl import run_etl
+
+        _ensure_fixture()
+        _ETL_COUNTS = run_etl(spark, _WIDE_CSV, _STAR_OUT, register=False)
+    return _ETL_COUNTS
+
+
+# The oracle SQL embeds the staged twin's literal path, so the file
+# must exist by the time the SQL string is handed out.
+_ensure_fixture()
+
+# quote/escape pinned to the python csv module's doublequote dialect;
+# without them DuckDB's sniffer can pick escape='\' (the data contains
+# '\N' sentinels) and then reject nullstr for containing the escape
+_W = f"""
+w AS (
+  SELECT * FROM read_csv('{_WIDE_ROWID_CSV}', header=true, nullstr='\\N',
+                         all_varchar=true, delim=',', quote='"', escape='"')
+)
+"""
+
+# keep-first-in-file-order per key (pandas drop_duplicates semantics)
+_KEEP_FIRST = (
+    "SELECT * FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY {key} ORDER BY CAST(_row_id AS BIGINT)) AS rn FROM w) "
+    "WHERE rn = 1"
+)
+
+_COUNTS_SQL = f"""
+WITH {_W},
+drv AS ({_KEEP_FIRST.format(key='driverId')}),
+rc AS ({_KEEP_FIRST.format(key='raceId')})
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (
+  SELECT 'date_dim' AS table_name, COUNT(DISTINCT "date") AS n_rows
+  FROM w WHERE try_strptime("date", '%Y-%m-%d') IS NOT NULL
+  UNION ALL
+  SELECT 'location_dim', COUNT(DISTINCT circuitId) FROM w
+  WHERE circuitId IS NOT NULL
+  UNION ALL
+  SELECT 'status_dim', COUNT(DISTINCT statusId) FROM w
+  WHERE statusId IS NOT NULL
+  UNION ALL
+  SELECT 'driver', COUNT(*) FROM drv
+  WHERE driverId IS NOT NULL AND try_strptime(dob, '%Y-%m-%d') IS NOT NULL
+  UNION ALL
+  SELECT 'team', COUNT(DISTINCT constructorId) FROM w
+  WHERE constructorId IS NOT NULL
+  UNION ALL
+  SELECT 'race', COUNT(DISTINCT raceId) FROM w WHERE raceId IS NOT NULL
+  UNION ALL
+  SELECT 'time_dim', COUNT(*) FROM rc
+  WHERE raceId IS NOT NULL
+    AND (time_races IS NOT NULL OR "time" IS NOT NULL)
+  UNION ALL
+  SELECT 'sprint', COUNT(DISTINCT raceId) FROM w
+  WHERE sprint_date IS NOT NULL AND raceId IS NOT NULL
+  UNION ALL
+  SELECT 'free_practice', COUNT(DISTINCT raceId) FROM w
+  WHERE raceId IS NOT NULL AND (
+    fp1_date IS NOT NULL OR fp1_time IS NOT NULL OR fp2_date IS NOT NULL
+    OR fp2_time IS NOT NULL OR fp3_date IS NOT NULL OR fp3_time IS NOT NULL)
+  UNION ALL
+  SELECT 'qualification', COUNT(*) FROM (
+    SELECT DISTINCT raceId, driverId FROM w
+    WHERE raceId IS NOT NULL AND driverId IS NOT NULL)
+  UNION ALL
+  SELECT 'laps', LEAST(1000, COUNT(*)) FROM (
+    SELECT DISTINCT raceId, driverId, lap FROM w
+    WHERE raceId IS NOT NULL AND driverId IS NOT NULL AND lap IS NOT NULL)
+  UNION ALL
+  SELECT 'pit_stop', COUNT(*) FROM (
+    SELECT DISTINCT raceId, driverId, stop FROM w
+    WHERE raceId IS NOT NULL AND driverId IS NOT NULL AND stop IS NOT NULL)
+  UNION ALL
+  SELECT 'results', COUNT(DISTINCT resultId) FROM w
+  WHERE resultId IS NOT NULL
+  UNION ALL
+  SELECT 'driver_standings', COUNT(DISTINCT driverStandingsId) FROM w
+  WHERE driverStandingsId IS NOT NULL
+  UNION ALL
+  SELECT 'team_standings', COUNT(DISTINCT constructorStandingsId) FROM w
+  WHERE constructorStandingsId IS NOT NULL
+)
+"""
+
+
+@_register("etl_star_counts", _COUNTS_SQL, tags=("etl", "gate"))
+def q_etl_star_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end: fixture CSV -> run_etl -> 15 parquet tables;
+    emit each table's written row count. Every count the oracle
+    restates is a different operator family surviving the full DAG
+    (filters F1-F4, dedups D2/D3, parses C1-C5, the laps O3 cap)."""
+    counts = _ensure_etl(spark)
+    rows = sorted(counts.items())
+    return spark.createDataFrame(rows, schema="table_name string, n_rows long")
+
+
+_STANDINGS_SQL = f"""
+WITH {_W},
+ds AS ({_KEEP_FIRST.format(key='driverStandingsId')}),
+drv AS ({_KEEP_FIRST.format(key='driverId')}),
+per_driver AS (
+  SELECT CAST(driverId AS BIGINT) AS driver_id,
+         SUM(CAST(wins AS INT)) AS total_wins,
+         MAX(CAST(points_driverstandings AS DOUBLE)) AS max_points
+  FROM ds WHERE driverStandingsId IS NOT NULL
+  GROUP BY driverId
+)
+SELECT p.driver_id, d.surname,
+       CAST(p.total_wins AS BIGINT) AS total_wins,
+       ROUND(p.max_points, 3) AS max_points
+FROM per_driver p
+JOIN (SELECT CAST(driverId AS BIGINT) AS driver_id, surname FROM drv
+      WHERE driverId IS NOT NULL
+        AND try_strptime(dob, '%Y-%m-%d') IS NOT NULL) d
+  ON p.driver_id = d.driver_id
+"""
+
+
+@_register("etl_standings_check", _STANDINGS_SQL, tags=("etl", "gate"))
+def q_etl_standings_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standings recompute off the WRITTEN star (parquet read-back,
+    not the builder plan): per driver, total wins and best points from
+    driver_standings joined to the driver dim for the surname. Covers
+    the sink round-trip plus the keep-first dedup VALUE semantics (a
+    conflicting later-file-order surname must lose)."""
+    _ensure_etl(spark)
+    ds = spark.read.parquet(os.path.join(_STAR_OUT, "driver_standings"))
+    drv = spark.read.parquet(os.path.join(_STAR_OUT, "driver"))
+    per_driver = ds.groupBy("driverId").agg(
+        F.sum(F.col("wins").cast("int")).alias("total_wins"),
+        F.max(F.col("points_driverstandings").cast("double")).alias("max_points"),
+    )
+    return (
+        per_driver.join(drv.select("driverId", "surname"), "driverId")
+        .select(
+            F.col("driverId").cast("long").alias("driver_id"),
+            "surname",
+            F.col("total_wins").cast("long").alias("total_wins"),
+            F.round("max_points", 3).alias("max_points"),
+        )
+    )

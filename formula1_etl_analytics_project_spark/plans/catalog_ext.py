@@ -10,7 +10,9 @@ Importing this module registers everything into catalog.CATALOG.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -22,7 +24,10 @@ from formula1_etl_analytics_project_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from formula1_etl_analytics_project_spark.operators.joins import salted_join
+from formula1_etl_analytics_project_spark.operators.joins import (
+    broadcast_if_small,
+    salted_join,
+)
 from formula1_etl_analytics_project_spark.functions.text import (
     punct_ratio,
     stopword_ratio,
@@ -421,6 +426,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Per-process stage directory keyed on the SOURCE's content
+    fingerprint (mtime+size), not just its basename: regenerated
+    testdata gets a fresh stage instead of silently reusing a stale
+    one, and two concurrent sessions never race on the same directory
+    (the pid is in the path). Cleaned up at interpreter exit."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{kind}_{os.path.basename(sf_dir)}_{fp}_{os.getpid()}",
+    )
+    if stage not in _STAGE_DIRS:
+        _STAGE_DIRS.add(stage)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage
+
+
+_STAGE_DIRS: set[str] = set()
+
+
 # ===========================================================================
 # Structured Streaming as a first-class catalog entry
 # ===========================================================================
@@ -443,9 +473,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin - the streaming-batch unification Spark promises."""
     from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
 
-    stage = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_{os.path.basename(sf_dir)}"
-    )
+    stage = _stage_dir(sf_dir, "stream", "events")
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):
         read_table(spark, sf_dir, "events").repartition(4).write.mode(
@@ -592,6 +620,7 @@ _SQL_SIMHASH_SIGS = f"""toked AS (
     WHERE bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) <= 2
     """,
     tags=("text", "dedup", "lsh"),
+    bench=True,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 2 over 16-bit signatures.
@@ -686,8 +715,11 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star -> wide denormalization at ROW level (the reverse of the
     reference's normalization - SURVEY.md section 1.5 key insight: the
-    engine goes both directions). Six FK joins, every dimension
-    broadcast, fact never shuffles; checked row-by-row, not through an
+    engine goes both directions). Six FK joins; bounded dims
+    (nation/region) carry pinned broadcast hints while customer/part/
+    supplier - which grow linearly with sf - go through the size gate
+    so AQE picks the strategy at scale. Locally every dim broadcasts
+    and the fact never shuffles; checked row-by-row, not through an
     aggregate, so join multiplicity bugs cannot hide. The key filter
     samples 1% of orders to keep the compared payload bounded."""
     li = read_table(spark, sf_dir, "lineitem").filter(
@@ -701,11 +733,11 @@ def q_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier")
     wide = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
+        .join(broadcast_if_small(customer), F.col("o_custkey") == customer["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
         .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast_if_small(part), li["l_partkey"] == part["p_partkey"])
+        .join(broadcast_if_small(supplier), li["l_suppkey"] == supplier["s_suppkey"])
     )
     return wide.select(
         "l_orderkey",
@@ -765,7 +797,8 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_orders",
     """
     SELECT c_custkey,
-           list_sort(list(DISTINCT year(o_orderdate))) AS order_years,
+           array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')
+             AS order_years,
            COUNT(*) AS n_orders
     FROM customer JOIN orders ON o_custkey = c_custkey
     WHERE c_acctbal > 9000
@@ -776,15 +809,20 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-customer sorted distinct order-year list.
     collect_list is order-nondeterministic under parallelism, so the
-    deterministic form is always collect_set/list + sort_array - the
-    same rule that makes it hash-comparable across engines."""
+    deterministic form is always collect_set/list + sort_array. The
+    sorted array is emitted as a ','-joined string because list-typed
+    columns are not hashable in every comparison harness (pandas
+    ``sort_values`` on a list column raises); the string form is
+    value-identical and hash-comparable everywhere."""
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     joined = customer.filter(F.col("c_acctbal") > 9000).join(
         orders, customer["c_custkey"] == orders["o_custkey"]
     )
     return joined.groupBy("c_custkey").agg(
-        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("order_years"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.year("o_orderdate"))), ","
+        ).alias("order_years"),
         F.count("*").alias("n_orders"),
     )
 
@@ -1185,9 +1223,7 @@ def q_csv_sentinel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _csv_stage(spark: SparkSession, sf_dir: str) -> str:
     r"""Stage orders as CSV with '\N' null sentinels (every 7th clerk),
     deterministic and reused across calls."""
-    stage = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_{os.path.basename(sf_dir)}"
-    )
+    stage = _stage_dir(sf_dir, "csv", "orders")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         orders = read_table(spark, sf_dir, "orders")
         (
@@ -1227,9 +1263,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_totals,
     )
 
-    stage = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_{os.path.basename(sf_dir)}"
-    )
+    stage = _stage_dir(sf_dir, "stream", "events")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         read_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
@@ -1282,6 +1316,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     tags=("dedup", "iterative"),
+    bench=True,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters -> keeper: the step that turns near-dup
@@ -1431,6 +1466,7 @@ _SQL_KMEANS_UPDATE = """
     SELECT cell AS cent_id, pos, ROUND(cval, 6) AS c_val FROM u2
     """,
     tags=("vector", "iterative"),
+    bench=True,
 )
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed algorithm: 2 Lloyd iterations of k-means
@@ -1629,7 +1665,9 @@ GROUP BY w.window_id
 _RANGE_BUCKET_S = 300  # bucket width = half the window span
 
 
-@_register("range_join_binned", _RANGE_BINNED_SQL, tags=("join", "time"))
+@_register(
+    "range_join_binned", _RANGE_BINNED_SQL, tags=("join", "time"), bench=True
+)
 def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (NO equi key) via interval bucketing - the scale
     path `range_join` deliberately refuses. The 20 highest-value events

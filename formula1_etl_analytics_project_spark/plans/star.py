@@ -225,8 +225,15 @@ def build_laps(wide: DataFrame, cap: int | None = 1000) -> DataFrame:
 
 def build_pit_stop(wide: DataFrame) -> DataFrame:
     """pitstop.py:28-55 + CompleteETL.py:421-444: D3 dedup on
-    (raceId, driverId, stop), C7 duration float cast, P5 surrogate."""
-    from pyspark.sql import Window
+    (raceId, driverId, stop), C7 duration float cast, P5 surrogate.
+
+    Pit stops are FACT-grained (grow with races x drivers x stops), so
+    the surrogate comes from operators.sequence.distributed_sequence -
+    same dense 1..N ids in ``_row_id`` order as a global row_number,
+    but with a range shuffle instead of an all-to-one Exchange."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
 
     deduped = dedup_keep_first(wide, ["raceId", "driverId", "stop"], ["_row_id"])
     rows = deduped.filter(
@@ -234,9 +241,9 @@ def build_pit_stop(wide: DataFrame) -> DataFrame:
         & F.col("driverId").isNotNull()
         & F.col("stop").isNotNull()
     )
-    seq = F.row_number().over(Window.orderBy("_row_id"))
+    rows = distributed_sequence(rows, "_row_id", "pitsId")
     return rows.select(
-        seq.cast("long").alias("pitsId"),
+        F.col("pitsId"),
         F.col("raceId").alias("race_id"),
         F.col("driverId").alias("driver_id"),
         F.col("stop").cast("int").alias("stop_number"),

@@ -50,12 +50,34 @@ def write_orc(
     writer.orc(path)
 
 
-def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """Merge-on-key: incoming rows win; existing rows survive only when
     their key is absent from incoming. Logical twin of SQL MERGE
     (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) for full-row
     updates.
+
+    SQL MERGE errors when the source matches a target row twice; this
+    twin resolves it instead: pass ``order_col`` to keep the LAST
+    incoming row per key deterministically (highest ``order_col``,
+    ANSI "latest version wins"). Without ``order_col`` the caller must
+    provide key-unique batches - duplicate incoming keys would
+    otherwise all survive the union and corrupt the snapshot's key
+    invariant.
     """
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     survivors = existing.join(
         incoming.select(*keys).distinct(), on=keys, how="left_anti"
     )
@@ -114,15 +136,35 @@ def upsert_parquet(
     incoming: DataFrame,
     path: str,
     keys: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
-    """foreachBatch-compatible incremental load onto a parquet snapshot."""
+    """foreachBatch-compatible incremental load onto a parquet snapshot.
+
+    Durability: the merged snapshot is written to a STAGING directory
+    first, then swapped into place (delete old + rename staging) - a
+    crash mid-write leaves the previous snapshot intact; only the
+    narrow delete/rename window is exposed. Plain parquet has no
+    atomic commit, so this is at-least-once, not exactly-once; a table
+    format with a transactional MERGE (Delta/Iceberg) is the scale
+    answer, and this function is its drop-in logical twin.
+    """
+    import uuid as _uuid
+
     try:
         existing = spark.read.parquet(path)
     except Exception:
         existing = None
-    merged = incoming if existing is None else upsert(existing, incoming, keys)
-    # Parquet cannot overwrite in place while reading; stage via cache.
-    merged = merged.cache()
-    merged.count()
-    write_parquet(merged, path, mode="overwrite")
-    return merged
+    merged = (
+        incoming
+        if existing is None
+        else upsert(existing, incoming, keys, order_col=order_col)
+    )
+    staging = f"{path}__staging_{_uuid.uuid4().hex[:12]}"
+    write_parquet(merged, staging, mode="overwrite")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(hconf)
+    fs.delete(Path(path), True)
+    fs.rename(Path(staging), Path(path))
+    return spark.read.parquet(path)

@@ -9,8 +9,9 @@ shapes are first-class:
     bounded).
   * ``incremental_upsert_stream`` - ``foreachBatch`` merge of each
     micro-batch into a parquet snapshot via the same anti-join+union
-    upsert the batch layer uses (sources.sinks.upsert) - exactly-once
-    per-key semantics on top of an append stream.
+    upsert the batch layer uses (sources.sinks.upsert_parquet, staged
+    write + swap) - at-least-once per-key on plain parquet; the
+    exactly-once form is the same plan over a transactional format.
 
 Scale notes: watermarks bound state store size (without one, a
 groupBy-window over an unbounded stream grows state forever). The
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
-from formula1_etl_analytics_project_spark.sources.sinks import upsert, write_parquet
+from formula1_etl_analytics_project_spark.sources.sinks import upsert_parquet
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -136,18 +137,19 @@ def incremental_upsert_stream(
 ):
     """foreachBatch incremental load: merge each micro-batch into the
     parquet snapshot (new keys insert, existing keys update). Returns
-    the StreamingQuery; caller awaits/stops it."""
+    the StreamingQuery; caller awaits/stops it.
+
+    Durability: each merge goes through ``sinks.upsert_parquet``, which
+    writes a staging directory and swaps it into place, so a crash
+    mid-batch keeps the previous snapshot. Plain parquet has no atomic
+    commit, so replaying an interrupted batch can double-apply only
+    within the delete/rename window - per-key AT-LEAST-once, not
+    exactly-once; a transactional table format (Delta/Iceberg MERGE) is
+    the exactly-once answer and this is its logical twin."""
     keys = keys or ["event_id"]
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            existing = spark.read.parquet(snapshot_path)
-        except Exception:
-            existing = None
-        merged = batch if existing is None else upsert(existing, batch, keys)
-        merged = merged.localCheckpoint()  # cut lineage before overwrite
-        write_parquet(merged, snapshot_path, mode="overwrite")
+        upsert_parquet(batch.sparkSession, batch, snapshot_path, keys)
 
     return (
         events.writeStream.outputMode("update")

@@ -104,3 +104,49 @@ def test_simhash_hamming(docs):
     assert pairs.get((1, 4)) == 0  # identical text -> identical signature
     assert (1, 2) in pairs  # near dup within hamming budget
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash64_banding_pigeonhole_exact(spark):
+    """64-bit banding loses NOTHING: over real documents, the banded
+    pair set (8 bands of 8 bits > max_hamming=2, pigeonhole) must equal
+    brute-force all-pairs hamming<=2 over the same 64-bit signatures.
+    Also pins the wide signature's integer packing: 64 distinct bits,
+    sign bit legal."""
+    from formula1_etl_analytics_project_spark.operators.dedup import simhash64_wide
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    sig = docs.select("doc_id", simhash64_wide("text").alias("sig")).cache()
+    # brute force: all-pairs on signatures (fine at this row count)
+    brute = (
+        sig.alias("l")
+        .join(sig.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))),
+        )
+        .filter(F.col("hamming") <= 2)
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            "hamming",
+        )
+    )
+    banded = simhash_pairs(docs, nbits=64, max_hamming=2, band_bits=8)
+    b = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    g = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+    assert g == b
+    # signatures genuinely span the upper half (packing not truncated)
+    spread = sig.agg(
+        F.max(F.shiftrightunsigned("sig", 32)).alias("hi"),
+    ).first()
+    assert spread["hi"] > 0
+    sig.unpersist()
+
+
+def test_simhash_banding_rejects_unsound_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash_pairs(df, nbits=16, band_bits=8, max_hamming=2).collect()

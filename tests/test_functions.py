@@ -56,6 +56,27 @@ def test_format_seconds_precision(spark):
     assert out3 == ["00:02:05.991"]
 
 
+def test_format_seconds_fractional_carry(spark):
+    """Rounding to the target precision must carry INTO the minute:
+    59.9999996 @ p6 is one whole minute, never ':60.000000'. Same
+    carry at the hour boundary and at millisecond precision."""
+    out = _vals(
+        spark,
+        format_seconds(F.col("x"), 6),
+        [59.9999996, 3599.9999996, 5399.9999995],
+    )
+    assert out == ["00:01:00.000000", "01:00:00.000000", "01:30:00.000000"]
+    out3 = _vals(spark, format_seconds(F.col("x"), 3), [59.99951, 119.9996])
+    assert out3 == ["00:01:00.000", "00:02:00.000"]
+    # the pandas twin carries identically
+    df = spark.createDataFrame([("+59.9999996",)], ["x"])
+    r = df.select(
+        format_seconds(parse_race_time_seconds("x"), 6).alias("native"),
+        parse_race_time_pandas_udf("x").alias("udf"),
+    ).first()
+    assert r.native == r.udf == "00:01:00.000000"
+
+
 def test_pandas_udf_twin_matches_native(spark):
     data = ["+5.478", "1:30:05.123", "0:00:59", "bad", None, "+12.0"]
     df = spark.createDataFrame([(v,) for v in data], ["x"])

@@ -38,9 +38,65 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_star_join_broadcasts_dimensions(spark):
     plan = _plan(spark, "star_join_revenue")
-    # three broadcast joins (customer, nation, region); the fact side
-    # must not shuffle for them
+    # three broadcast joins (customer via the size gate at this sf,
+    # nation/region pinned); the fact side must not shuffle for them
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_size_gate_refuses_hint_on_growing_dim(spark):
+    """customer/part/supplier grow with sf; broadcast_if_small must pin
+    the hint only under its size-estimate gate and return the side
+    UNTOUCHED above it (AQE then owns the strategy at scale)."""
+    from formula1_etl_analytics_project_spark.operators.joins import (
+        broadcast_if_small,
+    )
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    customer = read_table(spark, SF, "customer")
+    hinted = broadcast_if_small(customer)  # tiny at sf0.001 -> pinned
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # simulated 100 TB: estimate exceeds the gate -> identity, no hint
+    assert broadcast_if_small(customer, max_bytes=1) is customer
+
+
+def test_star_join_survives_unhinted_growing_dim(spark):
+    """The star join must still execute - bounded dims broadcast, the
+    scale-growing customer side falling back to a shuffle join - when
+    the gate refuses customer's hint (what happens at real scale)."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.operators.joins import (
+        broadcast_if_small,
+    )
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    customer = read_table(spark, SF, "customer")
+    nation = read_table(spark, SF, "nation")
+    region = read_table(spark, SF, "region")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(
+                broadcast_if_small(customer, max_bytes=1),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        out = joined.groupBy("r_name", "n_name").count()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # customer: shuffle join; nation/region: still pinned broadcast
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_topk_uses_take_ordered(spark):

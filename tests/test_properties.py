@@ -75,6 +75,36 @@ def test_upsert_key_algebra(spark, existing, incoming):
     assert got_pairs == expected_pairs
 
 
+@given(existing=rows_strategy, incoming=rows_strategy)
+@SETTINGS
+def test_upsert_order_col_keeps_last_per_key(spark, existing, incoming):
+    """With order_col, a multi-update batch resolves deterministically
+    to the HIGHEST order_col row per key (last-wins MERGE rule), so the
+    snapshot's key-uniqueness invariant survives duplicate incoming
+    keys."""
+    epdf = pd.DataFrame(existing, columns=["k", "v"])
+    epdf["seq"] = -1
+    edf = spark.createDataFrame(epdf)
+    ipdf = pd.DataFrame(incoming, columns=["k", "v"])
+    ipdf["seq"] = range(len(ipdf))
+    idf = spark.createDataFrame(ipdf)
+    merged = upsert(edf, idf, keys=["k"], order_col="seq")
+    rows = merged.collect()
+
+    i_keys = {k for k, _ in incoming}
+    # every incoming key appears exactly once (existing rows may carry
+    # duplicate keys of their own; MERGE only governs matched keys)
+    inc_counts = [r["k"] for r in rows if r["k"] in i_keys]
+    assert len(inc_counts) == len(set(inc_counts))
+    # each incoming key carries its LAST batch value
+    last = {}
+    for k, v in incoming:
+        last[k] = v
+    for r in rows:
+        if r["k"] in i_keys:
+            assert r["v"] == last[r["k"]], (r["k"], r["v"], last[r["k"]])
+
+
 time_like = st.one_of(
     st.none(),
     st.text(max_size=12),
