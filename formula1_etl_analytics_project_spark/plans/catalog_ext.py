@@ -610,6 +610,84 @@ _SQL_SIMHASH_SIGS = f"""toked AS (
     )"""
 
 
+def _sql_hex(start: int, ndigits: int) -> str:
+    """DuckDB md5-hex-digits -> integer (digit-by-digit positional
+    decode; mirrors Spark's conv(substring(md5,...)))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(t),{start + i},1))-1)"
+        f"*{16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sql_simhash_votes(hs: str, nbits: int) -> str:
+    bits = ",".join(str(b) for b in range(nbits))
+    return f"""CASE WHEN len({hs}) = 0 THEN 0 ELSE
+          list_reduce(
+            [CASE WHEN list_reduce(list_transform({hs},
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+                     (x, y) -> x + y) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE 0 END
+             FOR b IN [{bits}]],
+            (x, y) -> x + y)
+        END"""
+
+
+# 64-bit signatures: two independent 32-bit halves over DISJOINT md5
+# hex ranges, packed signed - DuckDB's << raises on overflow, so the
+# pack is stated as exact integer arithmetic: hi values >= 2^31 carry
+# the sign bit, hence (hi - 2^32) * 2^32 + lo == the two's-complement
+# BIGINT whose bit pattern is hi||lo (what Spark's shiftleft|OR builds).
+_SQL_SIMHASH64_SIGS = f"""toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(lower(text), '([^a-z0-9\\s]|[0-9]+)', ' \\1 ', 'g'),
+               '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_sql_hex(1, 8)}) AS hlo,
+             list_transform(toks, t -> {_sql_hex(9, 8)}) AS hhi
+      FROM toked
+    ), halves AS (
+      SELECT doc_id,
+             {_sql_simhash_votes('hlo', 32)} AS lo,
+             {_sql_simhash_votes('hhi', 32)} AS hi
+      FROM hashed
+    ), sigs AS (
+      SELECT doc_id,
+             (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+               * 4294967296 + lo AS sig
+      FROM halves
+    )"""
+
+
+@_register(
+    "simhash64_pairs",
+    f"""
+    WITH {_SQL_SIMHASH64_SIGS}
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) AS INT) AS hamming
+    FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+    WHERE bit_count(CAST(xor(l.sig, r.sig) AS BIGINT)) <= 2
+    """,
+    tags=("text", "dedup", "lsh"),
+)
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-width 64-bit SimHash near-dup pairs (8 bands of 8 bits;
+    pigeonhole: hamming <= 2 < 8 bands, so banding is exact). The
+    oracle restates the two-half signature bit-for-bit - including the
+    signed pack of the high half - and checks the all-pairs form, so
+    both the wide signature and the banded candidate generation are
+    value-verified cross-engine."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    pairs = simhash_pairs(docs, nbits=64, max_hamming=2, band_bits=8)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @_register(
     "simhash_pairs",
     f"""
@@ -1300,7 +1378,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE {_SQL_SIMHASH_SIGS},
+    WITH RECURSIVE {_SQL_SIMHASH64_SIGS},
     edges AS (
       SELECT l.doc_id AS src, r.doc_id AS dst
       FROM sigs l JOIN sigs r ON l.doc_id <> r.doc_id
@@ -1325,13 +1403,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, lineage cut each round) converges to connected
     components; the keeper is the lowest doc_id per cluster. The oracle
     states the same fixpoint as a recursive CTE - proving the
-    distributed iteration computes exactly transitive closure."""
+    distributed iteration computes exactly transitive closure.
+
+    Uses the 64-bit wide signature: at corpus scale a 16-bit space
+    birthday-collides into spurious mega-components (measured 540k
+    edges / diameter-9 chains at sf0.1 -> 9 propagation rounds); the
+    wide signature keeps only true near-dups, so components stay
+    dup-cluster-sized and the loop converges in ~2 rounds."""
     from formula1_etl_analytics_project_spark.operators.dedup import (
         connected_components,
     )
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = simhash_pairs(docs, nbits=16, max_hamming=2, band_bits=4)
+    pairs = simhash_pairs(docs, nbits=64, max_hamming=2, band_bits=8)
     labels = connected_components(
         pairs, docs.select(F.col("doc_id").alias("node")), node_col="node"
     )

@@ -123,12 +123,33 @@ def write_jdbc(
 
     Executors write concurrently with ``batchsize``-row prepared-
     statement batches; ``num_partitions`` caps the number of concurrent
-    connections. Untestable in this container (no JDBC driver/DB) but
-    the full write path is this one call.
+    connections. The terminal ``.jdbc()`` call is unexecutable in this
+    container (no JDBC driver/DB); everything up to it is built by
+    :func:`prepare_jdbc_write` and unit-tested construction-only.
     """
-    writer = df.repartition(num_partitions) if num_partitions else df
+    writer_df, props = prepare_jdbc_write(df, batch_size, num_partitions, properties)
+    writer_df.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def prepare_jdbc_write(
+    df: DataFrame,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Construction step of the JDBC sink, split out so the
+    batching/concurrency config is testable without a database.
+
+    Returns the (possibly repartitioned) DataFrame and the final JDBC
+    properties. One partition = one connection = one stream of
+    ``batch_size``-row executeBatch calls - the distributed replacement
+    for the reference's one-INSERT-per-row loop.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    writer_df = df.repartition(num_partitions) if num_partitions else df
     props = {"batchsize": str(batch_size), **(properties or {})}
-    writer.write.jdbc(url=url, table=table, mode=mode, properties=props)
+    return writer_df, props
 
 
 def upsert_parquet(

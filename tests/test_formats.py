@@ -29,6 +29,32 @@ def test_orc_filter_pushdown(spark, tmp_path_factory):
     assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
+def test_jdbc_write_construction(spark):
+    """S4/S5 construction-only (no JDBC driver/DB in this container):
+    the batch-size property and the connection-count cap must be in
+    place before the terminal .jdbc() call - each partition is one
+    connection streaming prepared-statement batches, the distributed
+    replacement for the reference's per-row INSERT loop."""
+    import pytest as _pytest
+
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        prepare_jdbc_write,
+    )
+
+    df = spark.range(1000)
+    writer_df, props = prepare_jdbc_write(
+        df, batch_size=500, num_partitions=4, properties={"user": "etl"}
+    )
+    assert props["batchsize"] == "500"
+    assert props["user"] == "etl"
+    assert writer_df.rdd.getNumPartitions() == 4
+    # no cap requested -> input partitioning untouched (no extra shuffle)
+    same_df, _ = prepare_jdbc_write(df, batch_size=500)
+    assert same_df.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+    with _pytest.raises(ValueError):
+        prepare_jdbc_write(df, batch_size=0)
+
+
 def test_text_line_source(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("txt") / "lines")
     docs = read_table(spark, SF, "documents").select("text").limit(20)
