@@ -1850,3 +1850,204 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(g), o["grp_key"].eqNullSafe(g["grp_key"])
     ).select("o_orderkey", "n_in_group")
+
+
+# ===========================================================================
+# Streaming dedup in the gate + FILTER-clause aggregate surface
+# ===========================================================================
+
+
+@_register(
+    "stream_dedup_counts",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {_sql_dsum('value', 'total_value', 6)}
+    FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup inside the correctness gate: the events
+    table is staged TWICE (second copy appended as later files, so
+    duplicates arrive in later micro-batches and the dedup state must
+    carry across batches), streamed through
+    ``dropDuplicatesWithinWatermark`` on event_id, and the surviving
+    rows' per-type counts must equal the batch distinct - the streaming
+    D1/D2 twin, state bounded by the watermark at real scale."""
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        dedup_event_stream,
+    )
+
+    stage = _stage_dir(sf_dir, "streamdup", "events")
+    done = os.path.join(stage, "_STAGED_OK")
+    if not os.path.exists(done):
+        ev = read_table(spark, sf_dir, "events")
+        ev.repartition(2).write.mode("overwrite").parquet(stage)
+        ev.repartition(2).write.mode("append").parquet(stage)
+        with open(done, "w"):
+            pass
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = dedup_event_stream(stream, keys=["event_id"], watermark="10 years")
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value"), "total_value", 6))
+    )
+
+
+_FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("filtered_agg_surface", _FILTERED_AGG_SQL, tags=("agg", "sql"))
+def q_filtered_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (conditional aggregation without
+    CASE-wrapping every argument): one scan, one hash aggregate, N
+    filtered accumulators - the idiom behind every dashboard's
+    "count by status" row. Same SQL text through spark.sql and DuckDB;
+    decimal-cast sum keeps the filtered total order-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)
+
+
+@_register(
+    "schema_evolution_scan",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n_with_source
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "schema"),
+)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the scan (the 100 TB lake reality: files
+    written over months drift columns): half the events are staged with
+    the original schema, half with an added ``source`` column;
+    ``mergeSchema`` unifies them - old files read NULL for the new
+    column, nothing is rewritten. The oracle knows exactly which rows
+    carry the column (odd event_ids), so the merged scan's
+    NULL-fill semantics are value-checked, not assumed."""
+    stage = _stage_dir(sf_dir, "schemaevo", "events")
+    done = os.path.join(stage, "_STAGED_OK")
+    if not os.path.exists(done):
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(stage)
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "source", F.lit("v2")
+        ).write.mode("append").parquet(stage)
+        with open(done, "w"):
+            pass
+    merged = spark.read.option("mergeSchema", True).parquet(stage)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("source").alias("n_with_source"),
+    )
+
+
+_UPSERT_PART_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 500 = 0
+                          THEN o_totalprice + 10000
+                          ELSE o_totalprice END AS DECIMAL(30,4)))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@_register("upsert_partitioned_orders", _UPSERT_PART_SQL, tags=("sink", "merge"))
+def q_upsert_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE through a real write/read round-trip:
+    orders are snapshotted partitioned by status, a batch bumping every
+    500th order's price is merged via upsert_parquet_partitioned (only
+    partitions containing touched keys are read and rewritten - the
+    100 TB fact-sink pattern), and the final per-status totals must
+    equal the oracle's restatement of base-plus-updates. Covers sink
+    partition layout, dynamic partition overwrite, and merge key
+    semantics in one value-checked row."""
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        upsert_parquet_partitioned,
+        write_parquet,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = os.path.join(_stage_dir(sf_dir, "upsertpart", "orders"), "snap")
+    # fresh snapshot every call: the entry checks the MERGE, so the
+    # starting state must be the base table, not a previous merge
+    write_parquet(orders, snap, partition_by=["o_orderstatus"])
+    incoming = orders.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10000
+    )
+    upsert_parquet_partitioned(
+        spark, incoming, snap, keys=["o_orderkey"], partition_col="o_orderstatus"
+    )
+    merged = spark.read.parquet(snap)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+_TRAILING_SQL = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 6) AS trailing_1h
+FROM events
+"""
+
+
+@_register("trailing_window_1h", _TRAILING_SQL, tags=("window", "time"))
+def q_trailing_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 1-hour sum per user) - the
+    value-based frame the ROWS-based moving_avg entry can't express:
+    the frame holds every event within 3600 SECONDS, however many rows
+    that is, and timestamp ties all join the frame regardless of order.
+    Both engines window over FLOORED epoch seconds (Spark's
+    timestamp->long cast truncates; DuckDB's epoch()::BIGINT would
+    round, shifting half the keys by 1s and flipping frame-boundary
+    membership), so the frame boundary is bit-identical; decimal-cast
+    accumulation keeps in-frame addition order-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,4)")).over(w).cast("double"), 6
+        ).alias("trailing_1h"),
+    )

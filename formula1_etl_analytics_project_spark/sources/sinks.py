@@ -189,3 +189,54 @@ def upsert_parquet(
     fs.delete(Path(path), True)
     fs.rename(Path(staging), Path(path))
     return spark.read.parquet(path)
+
+
+def upsert_parquet_partitioned(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """Fact-scale MERGE on partitioned parquet: only the partitions
+    that contain incoming keys are read, merged, and rewritten -
+    untouched partitions are never scanned and never written. This is
+    the plain-parquet form of Delta/Iceberg's row-level MERGE
+    (reference's orphaned MERGE INTO experiment, SURVEY J3) at the
+    grain that matters at 100 TB: a day's late data rewrites that
+    day's partition, not the table.
+
+    Mechanics: the affected-partition list comes from the incoming
+    batch (one tiny distinct - cardinality = touched partitions, e.g.
+    days, NOT rows); the existing side is read WITH that partition
+    filter (partition pruning - the scan never touches other
+    directories); the merge result is localCheckpoint-materialized,
+    then written with dynamic partition overwrite, which replaces
+    exactly the partitions present in the result. Commit is per
+    partition directory, so the non-atomicity window of
+    ``upsert_parquet`` shrinks to the touched partitions.
+    """
+    parts = [
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    ]
+    try:
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        existing.head(1)
+    except Exception:
+        existing = None
+    merged = (
+        incoming
+        if existing is None
+        else upsert(existing, incoming, keys, order_col=order_col)
+    )
+    # materialize before overwriting the files the plan reads
+    merged = merged.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -258,6 +258,15 @@ def test_binned_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_simhash64_band_join_is_hash_join(spark):
+    """64-bit banded candidate generation must stay an equality hash
+    join on the band key - a nested-loop here means the pair space went
+    all-pairs and the operator is O(N^2) at corpus scale."""
+    plan = _plan(spark, "simhash64_pairs")
+    assert "NestedLoop" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
 def test_q5_join_order_keeps_dimensions_broadcast(spark):
     """Q5's cross-branch nation condition must not force a sort-merge
     replan: all five dimension joins stay broadcast and the date filter
