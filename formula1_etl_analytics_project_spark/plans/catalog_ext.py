@@ -2051,3 +2051,65 @@ def q_trailing_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,4)")).over(w).cast("double"), 6
         ).alias("trailing_1h"),
     )
+
+
+_SS_JOIN_SQL = """
+SELECT l.user_id, COUNT(*) AS n_pairs
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts
+GROUP BY l.user_id
+"""
+
+
+@_register("stream_stream_join", _SS_JOIN_SQL, tags=("streaming", "join"))
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join in the gate: the events
+    table is staged as files and consumed as TWO independent streams
+    (even event_ids left, odd right); each left event joins same-user
+    right events within a trailing 10-minute horizon. Joined pairs land
+    in an append sink across several micro-batches (so join state must
+    buffer across batches), and per-user pair counts must equal the
+    batch self-join - Spark's batch/streaming unification for the
+    hardest stateful operator. Oversized watermark = no late drops, the
+    complete-data testing pattern used by the other stream entries."""
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        stream_stream_user_pairs,
+    )
+
+    stage = _stage_dir(sf_dir, "stream", "events")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        read_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+
+    def _stream():
+        return (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    left = _stream().filter(F.col("event_id") % 2 == 0)
+    right = _stream().filter(F.col("event_id") % 2 == 1)
+    pairs = stream_stream_user_pairs(
+        left, right, horizon="10 minutes", watermark="10 years"
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )

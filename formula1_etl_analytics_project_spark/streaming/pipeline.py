@@ -157,3 +157,35 @@ def incremental_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_user_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each left event pairs with
+    right events of the SAME user whose timestamp falls within the
+    trailing ``horizon``.
+
+    Both sides carry event-time watermarks, and the join condition
+    bounds the time skew, so the state store provably evicts: a
+    buffered right row can only match left rows within ``horizon``, and
+    once the left watermark passes that bound the row is dropped. This
+    is THE unbounded-state hazard of stream-stream joins - without the
+    time bound the state grows forever. Tests run with a huge watermark
+    (all data "on time") so the result equals the batch join exactly.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+    )
+    return l.join(r, cond).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("event_a"),
+        F.col("r.event_id").alias("event_b"),
+    )
