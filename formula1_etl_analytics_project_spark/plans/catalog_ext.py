@@ -2113,3 +2113,44 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+_STATS_SQL = """
+WITH m AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))
+                  * CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       ROUND((s2 - s1 * s1 / n) / (n - 1), 4) AS var_price,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_price
+FROM m
+"""
+
+
+@_register("stats_agg_surface", _STATS_SQL, tags=("agg", "stats"))
+def q_stats_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev per group via EXACT moment sums: built-in
+    stddev_samp accumulates doubles in partition order, so its low bits
+    differ run-to-run and engine-to-engine; deriving the moments from
+    decimal-cast SUM(x) and SUM(x^2) makes the statistic deterministic
+    and cross-engine reproducible - the same trick the decimal-sum
+    pattern uses for plain totals, lifted to second moments. (At 100 TB
+    the two sums ride ONE hash aggregate, same cost as stddev_samp.)"""
+    orders = read_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,4)")
+    m = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "o_orderstatus",
+        "n",
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+    )

@@ -17,11 +17,14 @@ from formula1_etl_analytics_project_spark.plans.catalog import CATALOG
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str) -> str:
-    df = CATALOG[name].spark(spark, SF)
+def _plan_df(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _plan(spark, name: str) -> str:
+    return _plan_df(CATALOG[name].spark(spark, SF))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -256,6 +259,44 @@ def test_binned_range_join_is_hash_not_nested_loop(spark):
     plan = _plan(spark, "range_join_binned")
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """When a selective filter sits on one join side and broadcast is
+    off (the 100 TB shuffle-join regime), Catalyst must inject a
+    runtime bloom filter: the filtered side aggregates a bloom filter
+    that is applied to the fact scan BEFORE its shuffle, so most fact
+    rows never cross the exchange. This is the modern replacement for
+    hand-written semi-join pre-filters."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF, "lineitem")
+        orders = read_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan_df(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
 
 
 def test_simhash64_band_join_is_hash_join(spark):
