@@ -2154,3 +2154,123 @@ def q_stats_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 4).alias("var_price"),
         F.round(F.sqrt(var), 6).alias("stddev_price"),
     )
+
+
+_CHUNK_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           regexp_replace(lower(text), '([^a-z0-9\s]|[0-9]+)', ' \1 ', 'g'),
+           '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE greatest(CAST(ceil((len(toks) - 50) / 40.0) AS INT), 0) + 1
+         END AS n_chunks
+  FROM toked
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS n_tokens,
+       toks[chunk_id * 40 + 1] AS first_tok,
+       list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)[-1] AS last_tok
+FROM sized, unnest(range(0, n_chunks)) AS t(chunk_id)
+WHERE n > 0
+"""
+
+
+@_register("doc_chunk_windows", _CHUNK_SQL, tags=("text", "chunking"))
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (sequence packing prep for a
+    training pipeline): 50-token windows, stride 40, so consecutive
+    chunks overlap by 10 tokens and every token lands in some chunk.
+    The chunk count, each chunk's length, and its boundary tokens are
+    value-checked cross-engine. Pure array higher-order functions -
+    sequence + explode + slice - one narrow projection, no shuffle, no
+    UDF: the shape that streams at 100 TB."""
+    from formula1_etl_analytics_project_spark.functions.text import word_tokens
+
+    WINDOW, STRIDE = 50, 40
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    sized = docs.select(
+        "doc_id", word_tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    chunked = (
+        sized.filter(F.col("n") > 0)
+        .withColumn(
+            "n_chunks",
+            F.greatest(
+                F.ceil((F.col("n") - WINDOW) / STRIDE).cast("int"), F.lit(0)
+            )
+            + 1,
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * STRIDE + 1, WINDOW)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.element_at(F.col("toks"), F.col("chunk_id") * STRIDE + 1).alias(
+            "first_tok"
+        ),
+        F.element_at(chunk, -1).alias("last_tok"),
+    )
+
+
+_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+           AS scale
+  FROM embeddings
+), q AS (
+  SELECT e.vec_id, s.scale,
+         list_transform(e.embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / s.scale) AS INT)) AS qv
+  FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+  WHERE s.scale > 0
+)
+SELECT vec_id, ROUND(scale, 9) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(qv, 'min') AS q_min,
+       list_aggregate(qv, 'max') AS q_max
+FROM q
+"""
+
+
+@_register("quantize_embeddings", _QUANT_SQL, tags=("vector", "quantize"))
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (4x storage cut for a
+    100 TB embedding corpus; the dequantized dot product needs only the
+    per-vector scale): q_i = round(127 * x_i / max|x|). Checked via the
+    quantized vector's sum/min/max plus the scale - enough to pin both
+    the argmax-abs normalization and every rounding. Arithmetic is
+    forced to double on BOTH engines (the parquet floats widen
+    exactly); all narrow array ops, no shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    dv = F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(dv).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 127.0 / F.col("scale")).cast("int"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
+        ).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
