@@ -239,3 +239,73 @@ def kmeans_lloyd_centroids(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return cents
+
+
+def ivf_recall_at_k(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF-pruned search against the exact brute-force
+    answer, evaluated SET-BASED for ``n_queries`` queries in two corpus
+    scans (one brute pass, one candidate pass) - never a per-query
+    driver loop. The standard ANN quality gate: at 100 TB you tune
+    nprobe until recall@k clears the product bar, and this is the
+    query that measures it.
+
+    Everything joins against broadcast-sized tables (queries,
+    centroids, probed cells), so the corpus only ever streams. Returns
+    (query_id, recall_at_k). Deterministic end-to-end: same sampled
+    centroids / tie-breaks as ``ivf_topk``, so an oracle can reproduce
+    the approximation exactly.
+    """
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col(id_col))
+
+    brute = (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("qvec")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("qid", F.col(id_col).alias("_hit"))
+    )
+
+    centroids = sample_centroids(df, n_cells, id_col, vec_col)
+    indexed = assign_cells(df, centroids, id_col, vec_col)
+    wc = Window.partitionBy("qid").orderBy(F.col("_csim").desc(), F.col("cent_id"))
+    qcells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", cosine(F.col("qvec"), F.col("cent_vec")))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qvec", "cent_id")
+    )
+    ivf = (
+        indexed.join(F.broadcast(qcells), indexed["cell"] == qcells["cent_id"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("_cos", cosine(F.col(vec_col), F.col("qvec")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("qid", F.col(id_col).alias("_hit"))
+    )
+
+    return (
+        brute.alias("b")
+        .join(
+            ivf.alias("i"),
+            (F.col("b.qid") == F.col("i.qid"))
+            & (F.col("b._hit") == F.col("i._hit")),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("query_id"))
+        .agg(
+            F.round(F.count(F.col("i._hit")) / k, 6).alias("recall_at_k")
+        )
+    )

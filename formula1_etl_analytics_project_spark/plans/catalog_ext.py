@@ -2274,3 +2274,70 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
     )
+
+
+_RECALL_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_sql_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN queries q WHERE e.vec_id <> q.qid)
+  WHERE rn <= 10
+), qcells AS (
+  SELECT qid, qvec, cent_id FROM (
+    SELECT q.qid, q.qvec, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_sql_cosine('q.qvec', 'c.cvec')} DESC, c.cent_id
+           ) AS rn
+    FROM queries q CROSS JOIN cent c)
+  WHERE rn <= 2
+), ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qc.qid, a.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qc.qid
+             ORDER BY {_sql_cosine('a.embedding', 'qc.qvec')} DESC, a.vec_id
+           ) AS rn
+    FROM assigned a JOIN qcells qc ON a.cell = qc.cent_id
+    WHERE a.vec_id <> qc.qid)
+  WHERE rn <= 10
+)
+SELECT b.qid AS query_id,
+       ROUND(COUNT(i.vec_id) / 10.0, 6) AS recall_at_k
+FROM brute b
+LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+GROUP BY b.qid
+"""
+
+
+@_register("ann_ivf_recall", _RECALL_SQL, tags=("vector", "eval"))
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe (2 of 8 cells) against brute force
+    for 10 queries, set-based (two corpus passes total, every small
+    side broadcast - no per-query loop). The ANN quality gate a
+    100 TB deployment tunes nprobe against; fully deterministic, so
+    the oracle reproduces the approximation's exact recall."""
+    from formula1_etl_analytics_project_spark.operators.similarity import (
+        ivf_recall_at_k,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return ivf_recall_at_k(emb, n_queries=10, k=10, n_cells=8, nprobe=2)

@@ -240,3 +240,38 @@ def upsert_parquet_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The 100 TB lake-maintenance op -
+    streaming sinks and fine-grained upserts accrete kilobyte files,
+    and every downstream scan then pays a task per file; periodic
+    compaction restores ~``target_file_bytes`` files (128 MB default,
+    the usual HDFS/S3 sweet spot).
+
+    Uses the staging + swap pattern of :func:`upsert_parquet` so a
+    crash keeps the original directory. Returns the output file count.
+    ``coalesce`` (not ``repartition``) avoids a shuffle - compaction is
+    pure IO. Partitioned layouts should compact per partition directory
+    (call this per partition path) so untouched partitions stay put.
+    """
+    import math as _math
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(hconf)
+    summary = fs.getContentSummary(Path(path))
+    n_files = max(1, _math.ceil(summary.getLength() / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path}__compact_{_uuid.uuid4().hex[:12]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    fs.delete(Path(path), True)
+    fs.rename(Path(staging), Path(path))
+    return n_files

@@ -62,3 +62,22 @@ def test_text_line_source(spark, tmp_path_factory):
     lines = spark.read.text(path)
     assert lines.columns == ["value"]
     assert lines.count() == sum(r.text.count("\n") + 1 for r in docs.collect())
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path_factory):
+    """Many tiny files -> one right-sized file; values unchanged."""
+    import glob
+    import os
+
+    from formula1_etl_analytics_project_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path_factory.mktemp("compact") / "t")
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 32
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(os.path.join(path, "*.parquet"))
+    assert n == 1 and len(after) == 1
+    assert spark.read.parquet(path).count() == 10_000
+    got = spark.read.parquet(path).agg({"id": "sum"}).collect()[0][0]
+    assert got == sum(range(10_000))
