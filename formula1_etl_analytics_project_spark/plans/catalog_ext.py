@@ -2341,3 +2341,38 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return ivf_recall_at_k(emb, n_queries=10, k=10, n_cells=8, nprobe=2)
+
+
+_TRY_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_gap,
+       CASE WHEN l_linenumber - 1 >= 1 THEN l_linenumber - 1 END AS prev_line
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+"""
+
+
+@_register("try_arithmetic", _TRY_ARITH_SQL, tags=("scalar", "null"))
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 error-handling surface at the expression level: try_divide
+    yields NULL instead of raising on zero denominators (the per-row
+    try/except-skip the reference wrapped around every transform,
+    SURVEY F6, as a vectorized expression). The oracle states the same
+    semantics with NULLIF guards - proving try_* functions are sugar
+    for declarative NULL propagation, which is why they stay inside
+    whole-stage codegen at scale. Quantity 25 is common, so the
+    zero-denominator NULL path is exercised by thousands of rows, not
+    vacuously green."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25
+        ).alias("price_per_gap"),
+        F.when(
+            F.col("l_linenumber") - 1 >= 1, F.col("l_linenumber") - 1
+        ).alias("prev_line"),
+    )

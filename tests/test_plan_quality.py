@@ -261,6 +261,15 @@ def test_binned_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_recall_eval_uses_partial_window_topk(spark):
+    """The per-query top-k windows in ann_ivf_recall must carry
+    map-side WindowGroupLimit (partial top-k before the shuffle): only
+    k rows per input partition per query cross the exchange, instead of
+    the whole corpus funneling into one reducer per query."""
+    plan = _plan(spark, "ann_ivf_recall")
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final per window
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """When a selective filter sits on one join side and broadcast is
     off (the 100 TB shuffle-join regime), Catalyst must inject a
