@@ -2376,3 +2376,79 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber") - 1 >= 1, F.col("l_linenumber") - 1
         ).alias("prev_line"),
     )
+
+
+_INCR_DEDUP_SQL = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+)
+SELECT d.doc_id,
+       CAST(md5(d.text) NOT IN (SELECT fp FROM seen) AS INT) AS is_new
+FROM documents d
+WHERE d.doc_id % 2 = 1
+"""
+
+
+@_register("incremental_dedup_docs", _INCR_DEDUP_SQL, tags=("dedup", "incremental"))
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup done RIGHT (the reference's D4 kept a global
+    Python set across DAG runs - a driver-memory bug; SURVEY section 7
+    says do not reproduce): the previous run's content fingerprints are
+    a TABLE, and the new batch left-anti-joins it. Here batch 1 (even
+    ids) is the persisted index, batch 2 (odd ids) arrives, and every
+    odd doc is labeled new/duplicate by fingerprint lookup - at 100 TB
+    the index is a bucketed table on fp and the lookup is the same
+    shuffle-on-fp join, state on disk, not in any driver."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    fp = F.md5("text")
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp")).distinct()
+    )
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", fp.alias("fp")
+    )
+    new_ids = batch2.join(seen, "fp", "left_anti").select("doc_id")
+    return batch2.select("doc_id").join(
+        new_ids.withColumn("is_new", F.lit(1)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("is_new", F.lit(0)).cast("int").alias("is_new"))
+
+
+_SPLIT_SQL = """
+SELECT split, lang, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE
+           WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13 THEN 'train'
+           WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 14 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+GROUP BY split, lang
+"""
+
+
+@_register("train_val_test_split", _SPLIT_SQL, tags=("text", "sampling"))
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~13/1/2 of 16 by
+    the first md5 nibble of the doc id): membership is a pure function
+    of the id, so the split is stable across runs, machines, and
+    engines - no rand(), no seed plumbing, re-runnable on 100 TB with
+    zero coordination. Checked as per-(split, lang) counts, which also
+    pins that the hash doesn't correlate with the lang strata."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = (
+        F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
