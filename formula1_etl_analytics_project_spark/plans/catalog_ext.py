@@ -2407,10 +2407,9 @@ def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", fp.alias("fp")
     )
-    new_ids = batch2.join(seen, "fp", "left_anti").select("doc_id")
-    return batch2.select("doc_id").join(
-        new_ids.withColumn("is_new", F.lit(1)), "doc_id", "left"
-    ).select("doc_id", F.coalesce("is_new", F.lit(0)).cast("int").alias("is_new"))
+    return batch2.join(
+        seen.withColumn("_hit", F.lit(1)), "fp", "left"
+    ).select("doc_id", F.col("_hit").isNull().cast("int").alias("is_new"))
 
 
 _SPLIT_SQL = """
@@ -2452,3 +2451,37 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       CAST(c.c_custkey IS NOT NULL AS INT) AS has_customer,
+       COUNT(o.o_orderkey) AS n_orders
+FROM (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@_register("full_outer_join_surface", _FULL_OUTER_SQL, tags=("join", "null"))
+def q_full_outer_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with all three row classes populated: even
+    customers without orders (left-only), even customers with orders
+    (both), and odd customers' orders (right-only, customer side NULL).
+    The COALESCE'd key and the has_customer flag pin exactly which side
+    produced each group - the null-extension semantics outer joins get
+    wrong first. Plans as a regular shuffle join at scale; no special
+    casing."""
+    customer = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "full_outer"
+    )
+    return joined.groupBy(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("int").alias("has_customer"),
+    ).agg(F.count("o_orderkey").alias("n_orders"))
