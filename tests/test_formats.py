@@ -81,3 +81,23 @@ def test_compact_parquet_merges_small_files(spark, tmp_path_factory):
     assert spark.read.parquet(path).count() == 10_000
     got = spark.read.parquet(path).agg({"id": "sum"}).collect()[0][0]
     assert got == sum(range(10_000))
+
+
+def test_observed_write_metrics(spark, tmp_path_factory):
+    """Data-quality counters piggyback the write job (Observation API):
+    row and non-null counts come back with ZERO extra passes over the
+    data - at 100 TB the alternative is a second full scan per metric."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("quality")
+    df = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.count("v").alias("n_nonnull")
+    )
+    path = str(tmp_path_factory.mktemp("obs") / "t")
+    observed.write.mode("overwrite").parquet(path)
+    got = obs.get
+    assert got["n"] == 100 and got["n_nonnull"] == 90
