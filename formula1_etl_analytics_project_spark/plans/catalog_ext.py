@@ -2485,3 +2485,97 @@ def q_full_outer_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_custkey", "o_custkey").alias("custkey"),
         F.col("c_custkey").isNotNull().cast("int").alias("has_customer"),
     ).agg(F.count("o_orderkey").alias("n_orders"))
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("variant_json_surface", _VARIANT_SQL, tags=("json", "variant"))
+def q_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): the props column is
+    parsed ONCE into the binary variant encoding and fields are
+    extracted with variant_get - the open-ended-schema path that
+    replaces schema-on-write from_json when producers add fields
+    freely. At 100 TB variant's binary encoding shreds into parquet
+    and field access avoids re-parsing the JSON text per expression.
+    Oracle extracts the same field with plain JSON functions - the
+    encodings differ, the VALUES must not."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
+def _corrupt_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as CSV with every 13th quantity-like field
+    corrupted to a non-numeric token - deterministic, so the oracle
+    knows exactly which rows are bad."""
+    stage = _stage_dir(sf_dir, "corrupt", "orders")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        orders = read_table(spark, sf_dir, "orders")
+        (
+            orders.select(
+                "o_orderkey",
+                F.when(F.col("o_orderkey") % 13 == 0, F.lit("not-a-number"))
+                .otherwise(F.col("o_totalprice").cast("string"))
+                .alias("price_raw"),
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(stage)
+        )
+    return stage
+
+
+_CORRUPT_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_corrupt,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                          ELSE o_totalprice END AS DECIMAL(30,4)))
+            AS DOUBLE) AS good_total
+FROM orders
+"""
+
+
+@_register("corrupt_records_scan", _CORRUPT_SQL, tags=("source", "quality"))
+def q_corrupt_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingestion of a CSV with planted type corruption:
+    malformed rows land with NULL typed fields plus the raw line in
+    ``_corrupt_record`` (never a job failure, never a silent drop - the
+    production contract for 100 TB ingest where some producer is always
+    broken). The oracle knows the corruption rule, so the corrupt
+    count, the survivor count, and the good-rows total are all
+    value-checked."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    stage = _corrupt_stage(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("price_raw", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = spark.read.csv(
+        stage,
+        header=True,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        _dsum(F.col("price_raw"), "good_total"),
+    )
