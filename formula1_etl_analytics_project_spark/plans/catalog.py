@@ -59,15 +59,22 @@ class QuerySpec:
 
 CATALOG: dict[str, QuerySpec] = {}
 
+# New entries registered with gate_priority=True append here so they get a
+# driver correctness row in the round they are introduced (see gate_order()).
+_GATE_PRIORITY_DYNAMIC: list[str] = []
+
 
 def _register(
     name: str,
     oracle: str | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    gate_priority: bool = False,
 ):
     def deco(fn):
         CATALOG[name] = QuerySpec(name, fn, oracle, tags, bench)
+        if gate_priority:
+            _GATE_PRIORITY_DYNAMIC.append(name)
         return fn
 
     return deco
@@ -978,14 +985,88 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Public API
 # ===========================================================================
 
+# The driver's correctness gate samples the FIRST 50 keys of ``queries()``
+# in iteration order (verified in VERDICT.md round 2). Registration order
+# alone left 44 entries without a driver correctness row after two rounds,
+# so the gate sample is rotated explicitly: entries whose last driver row
+# is missing or stale lead the ordering, followed by everything else in
+# registration order. Every entry stays in the dict — local parity tests
+# (tests/test_oracle_parity.py) still sweep all of them — this only
+# chooses WHICH 50 the driver cross-checks against DuckDB this round.
+#
+# Round-3 priority (from CORRECTNESS_r01/r02.json):
+#   * array_agg_orders first - the only entry whose last driver row was red
+#     (r01; the fix landed in round 1 but the entry fell outside the gate).
+#   * denormalize_wide / session_window_agg - green in r01 only, rotated
+#     out by round-2 registrations.
+#   * the 41 remaining entries registered at positions 53+ - never sampled.
+#   * new round-3 entries (registered by catalog_ext/catalog_etl with
+#     gate_priority=True) join the front via _GATE_PRIORITY_DYNAMIC.
+_GATE_PRIORITY: tuple[str, ...] = (
+    "array_agg_orders",
+    "denormalize_wide",
+    "session_window_agg",
+    "dedup_clusters",
+    "kmeans_centroids",
+    "ntile_spend_quartiles",
+    "moving_avg",
+    "token_vocab",
+    "event_value_percentiles",
+    "scd2_history",
+    "stratified_cap",
+    "bpe_token_counts",
+    "profile_table",
+    "unpivot_metrics",
+    "jsonl_parse",
+    "csv_sentinel_scan",
+    "stream_stateful_totals",
+    "media_features",
+    "decontaminate_docs",
+    "quality_filter_docs",
+    "grouping_sets_agg",
+    "hash_sample_docs",
+    "date_rollup_weekly",
+    "window_rank_surface",
+    "listagg_nations",
+    "range_join_binned",
+    "regional_revenue_q5",
+    "nullsafe_join",
+    "stream_dedup_counts",
+    "filtered_agg_surface",
+    "schema_evolution_scan",
+    "upsert_partitioned_orders",
+    "trailing_window_1h",
+    "stream_stream_join",
+    "stats_agg_surface",
+    "doc_chunk_windows",
+    "quantize_embeddings",
+    "ann_ivf_recall",
+    "try_arithmetic",
+    "incremental_dedup_docs",
+    "train_val_test_split",
+    "full_outer_join_surface",
+    "variant_json_surface",
+    "corrupt_records_scan",
+)
+
+
+def gate_order() -> list[str]:
+    """Catalog names in driver-gate order: rotation targets first."""
+    front = [n for n in _GATE_PRIORITY if n in CATALOG]
+    front += [n for n in _GATE_PRIORITY_DYNAMIC if n in CATALOG and n not in front]
+    seen = set(front)
+    return front + [n for n in CATALOG if n not in seen]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in CATALOG.items()}
+    return {name: CATALOG[name].spark for name in gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in CATALOG.items() if spec.oracle
+        name: CATALOG[name].oracle
+        for name in gate_order()
+        if CATALOG[name].oracle
     }
 
 

@@ -1,0 +1,71 @@
+"""Pins the driver-gate sample rotation (VERDICT.md round 2, task 1).
+
+The driver's correctness gate cross-checks exactly the FIRST 50 keys of
+``__spark_entry__.queries()`` against DuckDB. Registration order alone
+left 44 catalog entries without a driver row after two rounds, so
+``plans.catalog.gate_order()`` rotates them to the front. These tests
+pin that contract so a refactor cannot silently push an unsampled entry
+back out of the gate.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from formula1_etl_analytics_project_spark.plans import catalog
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _ever_green() -> set[str]:
+    """Entries with an all-three-green driver row in any past round."""
+    green: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+def test_gate_order_covers_every_catalog_entry_once():
+    order = catalog.gate_order()
+    assert sorted(order) == sorted(catalog.CATALOG)
+    assert len(order) == len(set(order))
+
+
+def test_queries_and_oracles_iterate_in_gate_order():
+    import __spark_entry__ as entry
+
+    order = catalog.gate_order()
+    assert list(entry.queries()) == order
+    oracle_keys = list(entry.oracle_sql())
+    assert oracle_keys == [n for n in order if catalog.CATALOG[n].oracle]
+
+
+def test_first_50_samples_the_unverified_entries_first():
+    """Every entry lacking a green driver row (or carrying only a stale
+    pre-round-2 row: array_agg_orders red in r01, denormalize_wide /
+    session_window_agg green only in r01) must sit inside the first-50
+    window the driver checks."""
+    order = catalog.gate_order()[:50]
+    green = _ever_green()
+    stale = {"array_agg_orders", "denormalize_wide", "session_window_agg"}
+    must_sample = (set(catalog.CATALOG) - green) | (
+        stale & set(catalog.CATALOG)
+    )
+    overflow = must_sample - set(order)
+    # Rotation targets may legitimately overflow only once the catalog
+    # grows past 50 unsampled entries; flag anything else.
+    assert not overflow or len(must_sample) > 50, (
+        f"unsampled entries pushed outside the driver gate: {sorted(overflow)}"
+    )
+
+
+def test_new_gate_priority_entries_land_in_first_50():
+    for name in catalog._GATE_PRIORITY_DYNAMIC:
+        assert name in catalog.gate_order()[:50], name
