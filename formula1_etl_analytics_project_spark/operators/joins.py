@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame, functions as F
 # well over every bounded dim (nation is 25 rows at any sf).
 _BOUNDED_DIM_BYTES = 64 << 20
 
+# Memoized size-gate decisions. Evaluating optimizedPlan().stats() forces
+# a file listing (~0.3 s cold, measured at sf0.1) and sat inside the timed
+# path of every star query, costing +10-23% in BENCH_r02. The gate
+# decision is a pure function of the (session, logical plan) pair, so it
+# is cached on DataFrame.semanticHash() - canonicalized-plan hashing, no
+# file listing. Staleness caveat: a plan re-read after its underlying
+# files were rewritten reuses the old decision; the gate is a coarse
+# 64 MB threshold so this only matters if a table crosses it mid-session
+# - call clear_size_gate_cache() after large in-place rewrites.
+_SIZE_CACHE: dict[tuple[int, int], int] = {}
+_SIZE_CACHE_MAX = 1024
+
+
+def clear_size_gate_cache() -> None:
+    _SIZE_CACHE.clear()
+
 
 def broadcast_if_small(
     df: DataFrame, max_bytes: int = _BOUNDED_DIM_BYTES
@@ -39,13 +55,22 @@ def broadcast_if_small(
     pinned (guaranteeing the no-fact-shuffle star plan); above it the
     side is returned unhinted and AQE picks broadcast vs shuffled join
     from runtime statistics. If no estimate is available the hint is
-    NOT forced - the conservative failure mode.
+    NOT forced - the conservative failure mode. Decisions are memoized
+    per (session, canonical plan) - see _SIZE_CACHE.
     """
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
+        key = (id(df.sparkSession), df.semanticHash())
     except Exception:
-        return df
+        key = None
+    size = _SIZE_CACHE.get(key) if key is not None else None
+    if size is None:
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            size = int(str(stats.sizeInBytes()))
+        except Exception:
+            return df
+        if key is not None and len(_SIZE_CACHE) < _SIZE_CACHE_MAX:
+            _SIZE_CACHE[key] = size
     return F.broadcast(df) if size <= max_bytes else df
 
 

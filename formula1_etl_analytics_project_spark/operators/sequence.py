@@ -84,7 +84,15 @@ def distributed_sequence(
             seen += len(b)
             yield b
 
-    stamped = ranged.mapInPandas(stamp, schema=out_schema)
+    # Two consumers read `stamped` (the k-row counts aggregate and the
+    # final join probe). Persist so (a) the mapInPandas stamping pass
+    # runs once per action instead of twice over the full fact, and
+    # (b) both consumers are guaranteed the SAME pid/local assignment
+    # rather than relying on shuffle-reuse determinism. No explicit
+    # unpersist: the API is lazy, so the earliest safe point is after
+    # the caller's action - Spark's ContextCleaner drops the blocks
+    # when the plan is garbage-collected.
+    stamped = ranged.mapInPandas(stamp, schema=out_schema).persist()
 
     # k rows (k = #partitions): cumulative count of everything in
     # partitions BEFORE mine. The single-partition window here is over

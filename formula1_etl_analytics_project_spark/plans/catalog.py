@@ -63,6 +63,12 @@ CATALOG: dict[str, QuerySpec] = {}
 # driver correctness row in the round they are introduced (see gate_order()).
 _GATE_PRIORITY_DYNAMIC: list[str] = []
 
+# Hooks run by oracle_sql() before handing out SQL strings. Entries whose
+# oracle reads a staged local file (the ETL fixture CSVs) register their
+# staging here, keeping package import side-effect-free: merely importing
+# plans no longer writes to the temp dir (ADVICE r02).
+_ORACLE_PREP: list[Callable[[], None]] = []
+
 
 def _register(
     name: str,
@@ -1063,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    for prep in _ORACLE_PREP:
+        prep()
     return {
         name: CATALOG[name].oracle
         for name in gate_order()

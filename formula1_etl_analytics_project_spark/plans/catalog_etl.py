@@ -33,7 +33,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.plans.catalog import (
+    _ORACLE_PREP,
+    _register,
+)
 from formula1_etl_analytics_project_spark.sources import fixture
 
 # ---------------------------------------------------------------------------
@@ -80,9 +83,14 @@ def _ensure_etl(spark: SparkSession) -> dict[str, int]:
     return _ETL_COUNTS
 
 
-# The oracle SQL embeds the staged twin's literal path, so the file
-# must exist by the time the SQL string is handed out.
-_ensure_fixture()
+# The oracle SQL embeds the staged twin's LITERAL PATH (knowable at
+# import - it is content-fingerprinted and per-process), but the file
+# write itself is deferred: the Spark entry fns stage it via
+# _ensure_etl, and catalog.oracle_sql() runs the prep hook for
+# consumers that execute the oracle before the Spark side. Importing
+# the plans package therefore no longer touches the filesystem
+# (ADVICE r02: an unwritable tmpdir must not break unrelated imports).
+_ORACLE_PREP.append(_ensure_fixture)
 
 # quote/escape pinned to the python csv module's doublequote dialect;
 # without them DuckDB's sniffer can pick escape='\' (the data contains

@@ -198,6 +198,7 @@ def upsert_parquet_partitioned(
     keys: list[str],
     partition_col: str,
     order_col: str | None = None,
+    check_moved_keys: bool = True,
 ) -> None:
     """Fact-scale MERGE on partitioned parquet: only the partitions
     that contain incoming keys are read, merged, and rewritten -
@@ -206,6 +207,21 @@ def upsert_parquet_partitioned(
     (reference's orphaned MERGE INTO experiment, SURVEY J3) at the
     grain that matters at 100 TB: a day's late data rewrites that
     day's partition, not the table.
+
+    PARTITION-STABILITY INVARIANT: a key's partition value must never
+    change between batches. Dynamic overwrite only rewrites partitions
+    present in the incoming batch, so an incoming row whose key already
+    exists under a DIFFERENT partition value would leave the old row in
+    place - the key silently duplicated across partitions. With
+    ``check_moved_keys`` (default) violations are detected before any
+    write and raise ``ValueError``: the snapshot is scanned as a
+    (keys, partition_col) projection - column-pruned, no data columns -
+    and inner-joined against the incoming keys on key-equal AND
+    partition-different. The check is skipped automatically when
+    ``partition_col`` is itself part of ``keys`` (a moved "key" is then
+    a different key by definition). Callers that guarantee stability
+    upstream can pass ``check_moved_keys=False`` to skip the
+    key-column scan.
 
     Mechanics: the affected-partition list comes from the incoming
     batch (one tiny distinct - cardinality = touched partitions, e.g.
@@ -227,6 +243,29 @@ def upsert_parquet_partitioned(
         existing.head(1)
     except Exception:
         existing = None
+    if (
+        check_moved_keys
+        and existing is not None
+        and partition_col not in keys
+    ):
+        snapshot_keys = spark.read.parquet(path).select(
+            *keys, partition_col
+        )
+        incoming_keys = incoming.select(*keys, partition_col).distinct()
+        moved = (
+            snapshot_keys.withColumnRenamed(partition_col, "__old_part")
+            .join(incoming_keys, on=keys, how="inner")
+            .filter(F.col("__old_part") != F.col(partition_col))
+        )
+        n_moved = moved.limit(1).count()
+        if n_moved:
+            sample = moved.select(*keys, "__old_part", partition_col).head(5)
+            raise ValueError(
+                "upsert_parquet_partitioned: incoming batch moves key(s) "
+                f"across partitions (e.g. {sample}); dynamic overwrite "
+                "would duplicate them. Delete/migrate the old rows first "
+                "or include the partition column in the merge keys."
+            )
     merged = (
         incoming
         if existing is None
@@ -259,18 +298,42 @@ def compact_parquet(
     ``coalesce`` (not ``repartition``) avoids a shuffle - compaction is
     pure IO. Partitioned layouts should compact per partition directory
     (call this per partition path) so untouched partitions stay put.
+
+    Staging safety: the staging dir lives in the SAME parent (so the
+    final rename is a same-filesystem metadata op) but under an
+    underscore-prefixed basename - ``<parent>/_compact_tmp_<base>_<hex>``
+    - which Spark/Hive/Presto readers skip by convention. A plain
+    ``<path>__compact_<hex>`` sibling would parse as an extra Hive
+    partition of the parent table when ``path`` is a partition
+    directory like ``.../part=A``, silently duplicating rows after a
+    crash or during the write window. ``<base>`` is sanitized to
+    alphanumerics (an ``=`` in the staging name would itself be parsed
+    as a partition column by directory discovery, underscore prefix or
+    not); keeping the per-target prefix means concurrent compactions of
+    SIBLING partitions never clean each other's live staging. Stale
+    ``_compact_tmp_<base>_*`` dirs for the same target (from a crashed
+    earlier run) are cleaned on entry.
     """
     import math as _math
+    import posixpath as _pp
+    import re as _re
     import uuid as _uuid
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(hconf)
+    parent, base = _pp.split(path.rstrip("/"))
+    safe_base = _re.sub(r"[^A-Za-z0-9]+", "-", base)
+    stale_prefix = f"_compact_tmp_{safe_base}_"
+    for status in fs.listStatus(Path(parent)):
+        name = status.getPath().getName()
+        if name.startswith(stale_prefix):
+            fs.delete(status.getPath(), True)
     summary = fs.getContentSummary(Path(path))
     n_files = max(1, _math.ceil(summary.getLength() / target_file_bytes))
     df = spark.read.parquet(path)
-    staging = f"{path}__compact_{_uuid.uuid4().hex[:12]}"
+    staging = _pp.join(parent, f"{stale_prefix}{_uuid.uuid4().hex[:12]}")
     df.coalesce(n_files).write.mode("overwrite").parquet(staging)
     fs.delete(Path(path), True)
     fs.rename(Path(staging), Path(path))

@@ -38,3 +38,27 @@ def test_rerun_is_idempotent(spark, etl_out, tmp_path_factory):
     csv_path = write_csv(str(tmp_path_factory.mktemp("wide2") / "wide.csv"))
     counts2 = run_etl(spark, csv_path, out)
     assert counts2 == counts
+
+
+def test_plans_import_is_filesystem_side_effect_free():
+    """ADVICE r02: importing the plans package must not write fixture
+    CSVs (an unwritable tmpdir would break import for callers that
+    never touch the ETL entries). Staging happens at entry/oracle_sql
+    time instead."""
+    import subprocess
+    import sys
+
+    code = (
+        "import glob, os, tempfile\n"
+        "import formula1_etl_analytics_project_spark.plans as p\n"
+        "pat = os.path.join(tempfile.gettempdir(),\n"
+        "                   f'spark_graft_etlfix_*_{os.getpid()}')\n"
+        "assert not glob.glob(pat), glob.glob(pat)\n"
+        "from formula1_etl_analytics_project_spark.plans.catalog import oracle_sql\n"
+        "oracle_sql()\n"
+        "assert glob.glob(pat), 'oracle_sql() must stage the fixture'\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd="/root/repo",
+        timeout=120,
+    )

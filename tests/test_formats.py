@@ -83,6 +83,41 @@ def test_compact_parquet_merges_small_files(spark, tmp_path_factory):
     assert got == sum(range(10_000))
 
 
+def test_compact_staging_invisible_to_partitioned_readers(spark, tmp_path_factory):
+    """ADVICE r02: compacting a Hive partition dir '.../part=A' must not
+    stage under a sibling that parses as another partition value - a
+    crash would leave it and the parent-table read would double-count.
+    The staging dir is underscore-prefixed (readers skip it), and stale
+    leftovers from a crashed run are cleaned by the next compact."""
+    import glob
+    import os
+
+    from formula1_etl_analytics_project_spark.sources.sinks import compact_parquet
+
+    root = str(tmp_path_factory.mktemp("compactpart") / "t")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(1000)], ["id", "part"]
+    )
+    df.repartition(8).write.partitionBy("part").parquet(root)
+    part_a = os.path.join(root, "part=A")
+
+    # simulate a crashed earlier compaction: leftover staging with data
+    stale = os.path.join(root, "_compact_tmp_part-A_deadbeef0000")
+    spark.read.parquet(part_a).write.parquet(stale)
+    # underscore prefix: parent-table reads must NOT see the leftover
+    assert spark.read.parquet(root).count() == 1000
+
+    n = compact_parquet(spark, part_a, target_file_bytes=1 << 30)
+    assert n == 1
+    # stale staging cleaned, no new visible sibling left behind
+    siblings = {os.path.basename(p) for p in glob.glob(os.path.join(root, "*"))}
+    assert {s for s in siblings if not s.startswith("_")} == {"part=A", "part=B"}
+    assert not any(s.startswith("_compact_tmp_") for s in siblings), siblings
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(root).count() == 1000
+    assert spark.read.parquet(part_a).count() == 500
+
+
 def test_observed_write_metrics(spark, tmp_path_factory):
     """Data-quality counters piggyback the write job (Observation API):
     row and non-null counts come back with ZERO extra passes over the

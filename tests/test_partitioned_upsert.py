@@ -49,6 +49,42 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert _files(path, "part=A") != before_a
 
 
+def test_partitioned_upsert_detects_cross_partition_key_move(spark, tmp_path):
+    """ADVICE r02: an incoming row whose key exists under a DIFFERENT
+    partition value would be silently duplicated by dynamic overwrite
+    (the old partition is never rewritten). The default check must
+    refuse the batch before any write."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0)], ["k", "part", "v"]
+    )
+    path = str(tmp_path / "snap3")
+    write_parquet(base, path, partition_by=["part"])
+    moved = spark.createDataFrame([(2, "A", 9.0)], ["k", "part", "v"])
+    with pytest.raises(ValueError, match="across partitions"):
+        upsert_parquet_partitioned(
+            spark, moved, path, keys=["k"], partition_col="part"
+        )
+    # nothing was written: snapshot unchanged
+    rows = {r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("A", 1.0), 2: ("B", 2.0)}
+    # opt-out path still writes (caller owns the invariant)
+    upsert_parquet_partitioned(
+        spark, moved, path, keys=["k"], partition_col="part",
+        check_moved_keys=False,
+    )
+    assert spark.read.parquet(path).count() == 3  # the documented dup
+    # partition_col inside keys: a "moved" key is a new key - no check,
+    # no raise, straight merge
+    base2 = str(tmp_path / "snap4")
+    write_parquet(base, base2, partition_by=["part"])
+    upsert_parquet_partitioned(
+        spark, moved, base2, keys=["k", "part"], partition_col="part"
+    )
+    assert spark.read.parquet(base2).count() == 3
+
+
 def test_partitioned_upsert_keep_last_on_duplicate_incoming(spark, tmp_path):
     base = spark.createDataFrame([(1, "A", 1.0, 0)], ["k", "part", "v", "seq"])
     path = str(tmp_path / "snap2")

@@ -62,6 +62,28 @@ def test_size_gate_refuses_hint_on_growing_dim(spark):
     assert broadcast_if_small(customer, max_bytes=1) is customer
 
 
+def test_size_gate_memoizes_stats_decision(spark):
+    """BENCH_r02 regression fix: the optimizedPlan stats evaluation
+    (~0.3 s cold file-listing) must run at most once per (session,
+    canonical plan). Proven by poisoning the cached size and observing
+    that a FRESH read of the same table obeys the poisoned value instead
+    of re-evaluating stats."""
+    from formula1_etl_analytics_project_spark.operators import joins
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    joins.clear_size_gate_cache()
+    customer = read_table(spark, SF, "customer")
+    joins.broadcast_if_small(customer)
+    key = (id(customer.sparkSession), customer.semanticHash())
+    assert key in joins._SIZE_CACHE
+    joins._SIZE_CACHE[key] = 1 << 60  # pretend the table is huge
+    fresh = read_table(spark, SF, "customer")
+    assert joins.broadcast_if_small(fresh) is fresh  # cache hit -> no hint
+    joins.clear_size_gate_cache()
+    hinted = joins.broadcast_if_small(fresh)  # cache cleared -> re-evaluates
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
 def test_star_join_survives_unhinted_growing_dim(spark):
     """The star join must still execute - bounded dims broadcast, the
     scale-growing customer side falling back to a shuffle join - when
