@@ -223,3 +223,72 @@ def q_etl_standings_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_points", 3).alias("max_points"),
         )
     )
+
+
+_ROUNDTRIP_SQL = f"""
+WITH {_W},
+res AS ({_KEEP_FIRST.format(key='resultId')}),
+drv AS ({_KEEP_FIRST.format(key='driverId')}),
+team AS ({_KEEP_FIRST.format(key='constructorId')}),
+st AS ({_KEEP_FIRST.format(key='statusId')}),
+rc AS ({_KEEP_FIRST.format(key='raceId')})
+SELECT CAST(res.resultId AS BIGINT) AS result_id,
+       d.surname,
+       t."name" AS name_team,
+       s.status AS status_description,
+       CAST(try_strptime(r."date", '%Y-%m-%d') AS DATE) AS race_date,
+       ROUND(CAST(res.points AS DOUBLE), 3) AS points
+FROM res
+LEFT JOIN (SELECT * FROM drv WHERE driverId IS NOT NULL
+           AND try_strptime(dob, '%Y-%m-%d') IS NOT NULL) d
+  ON res.driverId = d.driverId
+LEFT JOIN (SELECT * FROM team WHERE constructorId IS NOT NULL) t
+  ON res.constructorId = t.constructorId
+LEFT JOIN (SELECT * FROM st WHERE statusId IS NOT NULL) s
+  ON res.statusId = s.statusId
+LEFT JOIN (SELECT * FROM rc WHERE raceId IS NOT NULL) r
+  ON res.raceId = r.raceId
+WHERE res.resultId IS NOT NULL
+"""
+
+
+@_register(
+    "etl_wide_roundtrip",
+    _ROUNDTRIP_SQL,
+    tags=("etl", "join", "gate"),
+    gate_priority=True,
+)
+def q_etl_wide_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1's INVERSE direction, driver-checked: the fixture goes wide
+    CSV -> run_etl -> 15 star parquet tables, and the written star is
+    then denormalized back through plans.star.reconstruct_wide (the
+    10-way FK rebuild, SURVEY.md section 1.5's natural-join test). The
+    oracle restates the same row-level projection straight off the
+    rowid-annotated CSV with the ETL's keep-first/filter semantics, so
+    a dropped row, a duplicated join match, or a mis-keyed dimension
+    shows up as a value diff - wide -> star -> wide is the identity on
+    surviving rows."""
+    from formula1_etl_analytics_project_spark.plans.star import reconstruct_wide
+
+    _ensure_etl(spark)
+    star = {
+        name: spark.read.parquet(os.path.join(_STAR_OUT, name))
+        for name in (
+            "results",
+            "race",
+            "driver",
+            "team",
+            "status_dim",
+            "location_dim",
+            "date_dim",
+        )
+    }
+    wide = reconstruct_wide(star)
+    return wide.select(
+        F.col("resultId").cast("long").alias("result_id"),
+        "surname",
+        "name_team",
+        F.col("statusDescription").alias("status_description"),
+        F.col("date").alias("race_date"),
+        F.round(F.col("points").cast("double"), 3).alias("points"),
+    )

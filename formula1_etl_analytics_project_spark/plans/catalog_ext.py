@@ -36,6 +36,7 @@ from formula1_etl_analytics_project_spark.plans.catalog import (
     _SQL_PUNCT_RATIO,
     _SQL_SHINGLES,
     _SQL_STOP_RATIO,
+    _SQL_TOKENS,
     _dsum,
     _register,
     _sql_cosine,
@@ -2578,4 +2579,230 @@ def q_corrupt_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_corrupt_record").alias("n_corrupt"),
         _dsum(F.col("price_raw"), "good_total"),
+    )
+
+
+# ===========================================================================
+# Round 3: versioned sink, corpus pipeline, higher-order + string surfaces
+# ===========================================================================
+
+
+_UPSERT_VER_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 300 = 0
+                          THEN o_totalprice + 5000
+                          ELSE o_totalprice END AS DECIMAL(30,4)))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@_register(
+    "upsert_versioned_orders",
+    _UPSERT_VER_SQL,
+    tags=("sink", "merge"),
+    gate_priority=True,
+)
+def q_upsert_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crash-safe versioned snapshot store through a real two-batch
+    round-trip: base orders seed version 1, a batch bumping every 300th
+    order's price merges into version 2 (write-new-then-repoint - no
+    delete-before-write window, see sources.sinks.upsert_parquet_
+    versioned), and the final per-status totals read via read_snapshot
+    must equal the oracle's base-plus-updates restatement."""
+    import shutil as _shutil
+
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        upsert_parquet_versioned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    store = os.path.join(_stage_dir(sf_dir, "upsertver", "orders"), "store")
+    # fresh store per call: the entry checks the two-batch merge, so the
+    # starting state must be empty, not a previous run's snapshot
+    _shutil.rmtree(store, ignore_errors=True)
+    upsert_parquet_versioned(spark, orders, store, keys=["o_orderkey"])
+    incoming = orders.filter(F.col("o_orderkey") % 300 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5000
+    )
+    snap = upsert_parquet_versioned(spark, incoming, store, keys=["o_orderkey"])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+_CORPUS_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, text, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+kept AS (SELECT f.* FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+clean AS (
+  SELECT * FROM kept
+  WHERE length(text) >= 50
+    AND {_SQL_STOP_RATIO} >= 0.08
+    AND {_SQL_PUNCT_RATIO} <= 0.10
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(ROUND(
+             LEAST(length(text) / 500.0, 1.0) * 0.4
+             + LEAST({_SQL_STOP_RATIO} * 4, 1.0) * 0.4
+             + (1 - LEAST({_SQL_PUNCT_RATIO} * 5, 1.0)) * 0.2, 6)
+           AS DECIMAL(30,6))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_quality_sum_over_n
+FROM clean
+GROUP BY source
+"""
+
+
+@_register(
+    "corpus_clean_pipeline",
+    _CORPUS_SQL,
+    tags=("text", "dedup", "filter", "pipeline"),
+    gate_priority=True,
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus curation pipeline END-TO-END in one
+    driver-checked entry: exact dedup (fingerprint hash-groupBy, keeper
+    = min doc_id) -> language gate (stopword-density 'en') -> quality
+    gate (length + punctuation) -> per-source corpus stats. Composes
+    the exact_dedup_docs / doc_lang_guess / quality_filter_docs stages
+    the way a real pipeline chains them, so stage-interaction bugs
+    (dedup dropping the wrong copy, a filter running pre- instead of
+    post-dedup) are caught - each stage alone passing does not imply
+    the composition is right.
+
+    Scale shape: only (fingerprint, doc_id) pairs shuffle for the
+    dedup; the keeper join is key-equal on (fp, doc_id); the gates are
+    narrow per-row projections; the final agg is a tiny per-source
+    rollup. No full-text shuffle anywhere."""
+    from formula1_etl_analytics_project_spark.functions.text import (
+        fingerprint,
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text", "source"
+    )
+    with_fp = docs.withColumn("fp", fingerprint("text"))
+    keepers = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = with_fp.join(keepers, on=["fp", "doc_id"], how="inner")
+    clean = kept.filter(
+        (F.length("text") >= 50)
+        & (lang_guess("text") == "en")
+        & (punct_ratio("text") <= 0.10)
+    )
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        (
+            F.sum(quality_score("text").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).cast("double").alias("avg_quality_sum_over_n"),
+    )
+
+
+_HOF_SQL = """
+WITH a AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qty
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(list_transform(qty, x -> CAST(x * 2 AS VARCHAR)), ',')
+         AS doubled,
+       CAST(list_aggregate(qty, 'sum') AS INT) AS qty_sum,
+       CAST(len(list_filter(qty, x -> x > 25)) AS INT) AS n_big
+FROM a
+"""
+
+
+@_register(
+    "higher_order_funcs",
+    _HOF_SQL,
+    tags=("functions", "array"),
+    gate_priority=True,
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SparkSQL lambdas): per order the
+    sorted quantity array is transformed (x*2, stringified), folded
+    (aggregate with +), and filtered (x>25) - the JVM-side lambda
+    surface that replaces row-at-a-time Python UDFs for nested data.
+    The oracle restates each lambda with DuckDB's list_* twins, so the
+    semantics (ordering, empty arrays, fold init) are value-checked
+    cross-engine. Everything stays in whole-stage codegen - zero
+    Python in the hot path."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("qty")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform("qty", lambda x: (x * 2).cast("string")), ","
+        ).alias("doubled"),
+        F.aggregate("qty", F.lit(0), lambda acc, x: acc + x).alias("qty_sum"),
+        F.size(F.filter("qty", lambda x: x > 25)).cast("int").alias("n_big"),
+    )
+
+
+_STRF_SQL = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '(\d+)', 1) AS digits,
+       upper(c_mktsegment) AS seg_upper,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(c_name, '#', '-') AS name_dashed,
+       levenshtein('Customer', string_split(c_name, '#')[1]) AS lev,
+       reverse(substr(c_name, 1, 6)) AS rev6,
+       CAST(length(trim(c_mktsegment)) AS INT) AS seg_len,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+FROM customer
+WHERE c_custkey % 20 = 0
+"""
+
+
+@_register(
+    "string_funcs_surface",
+    _STRF_SQL,
+    tags=("functions", "string"),
+    gate_priority=True,
+)
+def q_string_funcs_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface parity: regexp capture-group extraction,
+    case mapping, padding, replace, levenshtein distance, split+index,
+    reverse, trim+length - each value-checked against DuckDB's
+    equivalent, pinning the cross-engine semantics (1-vs-0 indexed
+    split, empty-match regexp behavior) the docstrings alone would
+    leave unverified. All built-ins - codegen'd JVM expressions, the
+    fast path the UDF guide warns people off of."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.levenshtein(
+            F.lit("Customer"), F.split("c_name", "#").getItem(0)
+        ).alias("lev"),
+        F.reverse(F.substring("c_name", 1, 6)).alias("rev6"),
+        F.length(F.trim(F.col("c_mktsegment"))).cast("int").alias("seg_len"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
     )

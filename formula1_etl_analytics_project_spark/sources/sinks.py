@@ -191,6 +191,145 @@ def upsert_parquet(
     return spark.read.parquet(path)
 
 
+# ---------------------------------------------------------------------------
+# Versioned snapshot store: write-new-then-repoint, never delete-before-write
+# ---------------------------------------------------------------------------
+
+_CURRENT = "_current"
+_VERSION_PREFIX = "_v"
+
+
+def _pointer_path(path: str) -> str:
+    import posixpath as _pp
+
+    return _pp.join(path, _CURRENT)
+
+
+def read_current_version(path: str) -> str | None:
+    """Name of the live snapshot version (e.g. ``_v00000003``), or None
+    for an empty store."""
+    try:
+        with open(_pointer_path(path)) as f:
+            return f.read().strip() or None
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def read_snapshot(spark, path: str) -> DataFrame:
+    """Read the live snapshot of a versioned store (see
+    :func:`upsert_parquet_versioned`). Raises ``FileNotFoundError`` on
+    an empty store."""
+    import posixpath as _pp
+
+    version = read_current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no current snapshot under {path}")
+    return spark.read.parquet(_pp.join(path, version))
+
+
+def _write_new_version(
+    spark, merged: DataFrame, path: str, current: str | None
+) -> str:
+    """Step 1 of the swap: materialize the merged snapshot under the
+    NEXT version directory. Crash-safe by construction - nothing
+    existing is touched; a crash here strands an underscore-prefixed
+    orphan dir that readers skip and the next upsert prunes."""
+    import posixpath as _pp
+
+    n = int(current[len(_VERSION_PREFIX):]) if current else 0
+    version = f"{_VERSION_PREFIX}{n + 1:08d}"
+    write_parquet(merged, _pp.join(path, version), mode="overwrite")
+    return version
+
+
+def _repoint(path: str, version: str) -> None:
+    """Step 2 of the swap: atomically flip the ``_current`` pointer.
+
+    Local/POSIX ``os.replace`` is an atomic overwrite, so a reader sees
+    either the old pointer or the new one, never a missing/partial
+    file. (HDFS equivalent: FileContext.rename(..., Options.Rename.
+    OVERWRITE); S3 has no atomic rename - there a table format's commit
+    log (Delta/Iceberg) is the real answer, and this store is its
+    plain-parquet logical twin.)"""
+    import os as _os
+    import uuid as _uuid
+
+    tmp = _pp_join_safe(path, f"._current_tmp_{_uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, _pointer_path(path))
+
+
+def _pp_join_safe(*parts: str) -> str:
+    import posixpath as _pp
+
+    return _pp.join(*parts)
+
+
+def _prune_versions(path: str, keep: tuple[str, ...]) -> None:
+    """Drop version dirs other than ``keep`` (current + previous stay
+    so in-flight readers holding the old pointer can finish their
+    scan). Also removes orphans from crashed step-1 writes."""
+    import os as _os
+    import shutil as _shutil
+
+    try:
+        names = _os.listdir(path)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.startswith(_VERSION_PREFIX) and name not in keep:
+            _shutil.rmtree(_pp_join_safe(path, name), ignore_errors=True)
+
+
+def upsert_parquet_versioned(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Crash-safe merge-on-key onto a versioned parquet snapshot store.
+
+    Layout::
+
+        path/_current        <- tiny pointer file, atomically replaced
+        path/_v00000001/     <- immutable plain-parquet snapshots
+        path/_v00000002/
+
+    The swap is write-new-then-repoint: the merged snapshot is fully
+    written under the next ``_v...`` dir (step 1), THEN the pointer is
+    atomically flipped (step 2). There is no delete-before-write
+    anywhere, so a reader through :func:`read_snapshot` observes either
+    the previous complete snapshot or the new complete snapshot at
+    every instant - the delete/rename data-loss window of the in-place
+    :func:`upsert_parquet` does not exist. A crash in step 1 strands an
+    orphan version dir (underscore-prefixed - invisible to readers,
+    pruned by the next successful upsert); a crash before step 2 leaves
+    the old pointer live. The previous version is retained after the
+    flip so in-flight readers finish; older versions are pruned.
+
+    Each snapshot stays plain parquet - any engine can read
+    ``path/<version>`` directly after resolving the one-line pointer.
+    """
+    current = read_current_version(path)
+    if current is None:
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        merged = incoming
+    else:
+        existing = read_snapshot(spark, path)
+        merged = upsert(existing, incoming, keys, order_col=order_col)
+    version = _write_new_version(spark, merged, path, current)
+    _repoint(path, version)
+    keep = (version, current) if current else (version,)
+    _prune_versions(path, keep)
+    return read_snapshot(spark, path)
+
+
 def upsert_parquet_partitioned(
     spark,
     incoming: DataFrame,
