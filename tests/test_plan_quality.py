@@ -347,3 +347,65 @@ def test_q5_join_order_keeps_dimensions_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_aqe_skew_split_fires_only_when_tuned(spark):
+    """VERDICT r02 task 6: demonstrate WHEN AQE's built-in skew-join
+    splitting suffices vs when explicit salting is needed. A 90%-hot
+    key below the default 256MB skewedPartitionThresholdInBytes is NOT
+    split (the straggler survives at defaults); with the threshold
+    pinned down the final plan shows the split. salted_join spreads
+    the same hot key without any AQE cooperation. Measured numbers in
+    operators/joins.py::salted_join's docstring."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.operators.joins import salted_join
+
+    left = spark.range(0, 2_000_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+
+    def final_plan(df):
+        df.collect()
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    q = lambda: left.join(right, "k").groupBy("v").agg(F.sum("w").alias("s"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in (
+        *confs,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # defaults (256MB threshold): hot partition ~30MB -> NO split
+        assert "skew=true" not in final_plan(q())
+        # thresholds pinned to 1MB: the split fires
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        assert "skew=true" in final_plan(q())
+        # salting needs no AQE cooperation and keeps exact semantics
+        salted = (
+            salted_join(left, right, "k", salt=8)
+            .groupBy("v")
+            .agg(F.sum("w").alias("s"))
+        )
+        plain = {(r["v"], r["s"]) for r in q().collect()}
+        assert {(r["v"], r["s"]) for r in salted.collect()} == plain
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
