@@ -313,8 +313,10 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation/region - fixed size at any sf) carry pinned broadcast
     hints; customer GROWS with sf (1.5B rows at sf10000) so it goes
     through the size gate and falls back to AQE's runtime choice at
-    scale. Locally everything broadcasts and the fact never shuffles
-    for the join; the only shuffle is the final group-by. This is the
+    scale. orders is also size-gated: at bench scale it fits the
+    broadcast budget, removing the lineitem-orders shuffle entirely
+    (the plan's only Exchange is the final group-by); at real scale
+    the gate refuses and AQE owns the fact-fact strategy. This is the
     10-way wide-table reconstruction pattern (SURVEY section 1.5) at
     benchmark scale."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -323,7 +325,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(broadcast_if_small(orders), li.l_orderkey == orders.o_orderkey)
         .join(broadcast_if_small(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -2806,3 +2806,220 @@ def q_string_funcs_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
         ).alias("seg_nation"),
     )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= 3
+"""
+
+
+@_register(
+    "tfidf_top_terms",
+    _TFIDF_SQL,
+    tags=("text", "agg"),
+    gate_priority=True,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by TF-IDF - the keyword-
+    extraction / relevance-weighting stage of a corpus pipeline.
+    Ranking is fully integer-deterministic (tf desc, df asc, term asc
+    - rarer term wins ties) so the cross-engine hash cannot wobble on
+    double rounding; the tfidf score itself is emitted rounded.
+
+    Scale shape: explode -> two hash aggs (per-doc-term tf, per-term
+    df) -> term-keyed join -> per-doc window over <=vocab-size rows.
+    The doc count is a broadcast scalar, not a driver constant baked
+    per-partition. No full-text shuffle: only (doc_id, term) pairs
+    move."""
+    from formula1_etl_analytics_project_spark.functions.text import word_tokens
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("rk") <= 3).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id ||
+                           '@example.com or 555-01' ||
+                           lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0') || '-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+
+@_register("pii_redact_docs", _PII_SQL, tags=("text", "privacy"))
+def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing - the redaction pass a training-data pipeline runs
+    before anything ships: emails and phone-shaped tokens are counted
+    (regexp_extract_all) and replaced with typed tags, and the REDACTED
+    text's md5 is compared cross-engine, so the oracle checks the
+    actual rewritten bytes, not just the counts. PII is seeded
+    deterministically onto every third doc (the synthetic corpus has
+    none), so the check is non-vacuous and the not-seeded rows pin the
+    no-false-positive behavior. Patterns stay in the Java<->RE2 common
+    subset (char classes, bounded repeats - no lookaround). Narrow
+    per-row projection, codegen'd, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-01"),
+                    F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_PACK_SQL = """
+WITH sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_tok
+  FROM sized
+)
+SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(start_tok // 512 AS BIGINT) AS first_window,
+       CAST(CASE WHEN n_toks > 0 THEN (start_tok + n_toks - 1) // 512
+                 ELSE start_tok // 512 END AS BIGINT) AS last_window
+FROM packed
+"""
+
+
+@_register("pack_sequences", _PACK_SQL, tags=("text", "chunking"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (context-window assignment): documents are
+    concatenated in deterministic (source, doc_id) order into one token
+    stream per source shard and each doc is mapped to the 512-token
+    context windows it lands in - the doc -> training-example layout an
+    LLM data loader materializes. Integer-only (cumulative token
+    offsets), so the oracle is exact.
+
+    Scale shape: the cumsum window is PARTITIONED BY SOURCE SHARD -
+    never a global unpartitioned window (the all-to-one Exchange
+    anti-pattern); shards pack independently, exactly how a 100 TB
+    corpus is laid out. Per-shard ordering by doc_id keeps the packing
+    reproducible run-to-run."""
+    from formula1_etl_analytics_project_spark.functions.text import token_count
+
+    CAP = 512
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    sized = docs.select(
+        "doc_id", "source", token_count("text").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "start_tok", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.floor(F.col("start_tok") / CAP).cast("long").alias("first_window"),
+        F.when(
+            F.col("n_toks") > 0,
+            F.floor((F.col("start_tok") + F.col("n_toks") - 1) / CAP),
+        )
+        .otherwise(F.floor(F.col("start_tok") / CAP))
+        .cast("long")
+        .alias("last_window"),
+    )
