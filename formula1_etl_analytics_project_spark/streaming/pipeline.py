@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
-from formula1_etl_analytics_project_spark.sources.sinks import upsert_parquet
+from formula1_etl_analytics_project_spark.sources.sinks import (
+    upsert_parquet,
+    upsert_parquet_versioned,
+)
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -134,22 +137,32 @@ def incremental_upsert_stream(
     events: DataFrame,
     snapshot_path: str,
     keys: list[str] | None = None,
+    versioned: bool = True,
 ):
     """foreachBatch incremental load: merge each micro-batch into the
     parquet snapshot (new keys insert, existing keys update). Returns
     the StreamingQuery; caller awaits/stops it.
 
-    Durability: each merge goes through ``sinks.upsert_parquet``, which
-    writes a staging directory and swaps it into place, so a crash
-    mid-batch keeps the previous snapshot. Plain parquet has no atomic
-    commit, so replaying an interrupted batch can double-apply only
-    within the delete/rename window - per-key AT-LEAST-once, not
-    exactly-once; a transactional table format (Delta/Iceberg MERGE) is
-    the exactly-once answer and this is its logical twin."""
+    Durability: with ``versioned`` (default) each merge goes through
+    ``sinks.upsert_parquet_versioned`` - write-new-then-repoint, atomic
+    pointer flip - so readers through ``sinks.read_snapshot`` NEVER see
+    a missing or partial snapshot, even if the job dies mid-batch; a
+    replayed interrupted batch simply re-merges (idempotent per key:
+    same keys, same values -> same snapshot). ``versioned=False`` keeps
+    the legacy in-place layout (directly ``spark.read``-able at
+    ``snapshot_path``) at the cost of the delete/rename window - per-key
+    at-least-once. Exactly-once with concurrent multi-writer commit
+    needs a transactional table format (Delta/Iceberg MERGE); both
+    shapes here are its single-writer logical twin."""
     keys = keys or ["event_id"]
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        upsert_parquet(batch.sparkSession, batch, snapshot_path, keys)
+        if versioned:
+            upsert_parquet_versioned(
+                batch.sparkSession, batch, snapshot_path, keys
+            )
+        else:
+            upsert_parquet(batch.sparkSession, batch, snapshot_path, keys)
 
     return (
         events.writeStream.outputMode("update")

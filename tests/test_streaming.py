@@ -114,12 +114,31 @@ def test_stream_dedup_within_watermark(spark, event_dir, tmp_path_factory):
 
 
 def test_incremental_upsert_stream(spark, event_dir, tmp_path_factory):
+    """Default sink is the crash-safe versioned store: every micro-batch
+    merge lands via write-new-then-repoint and is read back through
+    read_snapshot."""
+    from formula1_etl_analytics_project_spark.sources.sinks import read_snapshot
+
     snap = str(tmp_path_factory.mktemp("snap") / "events_snapshot")
     stream = read_event_stream(spark, event_dir)
     q = incremental_upsert_stream(stream, snap, keys=["event_id"])
     q.awaitTermination()
 
-    merged = spark.read.parquet(snap)
+    merged = read_snapshot(spark, snap)
     source = spark.read.parquet(event_dir)
     assert merged.count() == source.count()
     assert merged.select("event_id").distinct().count() == source.count()
+
+
+def test_incremental_upsert_stream_inplace_layout(
+    spark, event_dir, tmp_path_factory
+):
+    """versioned=False keeps the legacy directly-readable layout."""
+    snap = str(tmp_path_factory.mktemp("snap") / "events_snapshot_flat")
+    stream = read_event_stream(spark, event_dir)
+    q = incremental_upsert_stream(
+        stream, snap, keys=["event_id"], versioned=False
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(snap)
+    assert merged.count() == spark.read.parquet(event_dir).count()
