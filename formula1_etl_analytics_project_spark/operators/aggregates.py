@@ -1,0 +1,67 @@
+"""Skew-safe aggregation shapes.
+
+Algebraic aggregates (sum/count/min/max/avg) need no help at scale:
+Spark's HashAggregate already runs a partial pass map-side, so a hot
+group collapses to one row per map task before the shuffle - salting
+them only adds a second shuffle for nothing.
+
+The problem children are HOLISTIC aggregates, where the partial pass
+cannot collapse the group. ``COUNT(DISTINCT x) GROUP BY k`` is the
+canonical case: Catalyst rewrites it as a two-level aggregate whose
+first level groups by ``(k, x)`` - that level spreads fine - but the
+SECOND level must move one row per surviving ``(k, x)`` pair to the
+single reducer owning ``k``. A hot key with 100M distinct values
+concentrates 100M rows on one task at exactly the moment the rest of
+the stage finishes.
+
+``salted_distinct_count`` breaks that concentration by bucketing on a
+HASH OF THE VALUE, not a random salt: distinct-value sets in different
+value-buckets are disjoint by construction, so per-bucket distinct
+counts are additive and the merge is an exact integer SUM of
+``buckets`` rows per key - no re-union of sets, no approximation.
+(A random salt would NOT work here: the same value could land in two
+salt groups and be double-counted. Bucketing by value hash is what
+makes the partial counts disjoint.)
+
+Reference scope note: the reference computes its distinct counts
+row-loop-side in pandas (CompleteETL.py drop_duplicates/nunique
+idioms); this module is the scale-shaped twin of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    out: str = "n_distinct",
+    buckets: int = 16,
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT value), skew-safe.
+
+    Phase 1 groups by ``(keys..., crc32(value) % buckets)`` and counts
+    distinct values inside each bucket - a hot key's distinct set is
+    now spread over ``buckets`` reducers, and within a bucket the
+    count is exact because the bucket partitions the VALUE space.
+    Phase 2 sums the per-bucket counts per key: ``buckets`` rows per
+    key cross the final shuffle instead of one row per distinct value.
+
+    Semantically identical to
+    ``df.groupBy(*keys).agg(F.countDistinct(value))``, including NULL
+    handling: NULL values hash to a NULL bucket whose count_distinct
+    is 0, so they are never counted but an all-NULL key still yields
+    its 0 row, exactly like the plain form.
+
+    Pick ``buckets`` ~ executor-count for full spread; the phase-2
+    cost is keys x buckets rows, negligible at any setting.
+    """
+    bucket = F.pmod(F.crc32(F.col(value).cast("string")), F.lit(buckets))
+    partial = df.groupBy(*keys, bucket.alias("_vbucket")).agg(
+        F.count_distinct(F.col(value)).alias("_partial")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_partial").alias(out)
+    )

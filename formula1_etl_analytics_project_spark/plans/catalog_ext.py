@@ -3023,3 +3023,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_window"),
     )
+
+
+# ===========================================================================
+# Skew-safe holistic aggregation (operators/aggregates.py)
+# ===========================================================================
+
+
+@_register(
+    "skew_distinct_count",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT) via value-hash bucketing
+    (operators/aggregates.py salted_distinct_count). l_returnflag has
+    3 values over the whole fact - the maximally-hot-key case where
+    the plain distinct rewrite funnels every surviving (key, value)
+    pair through 3 reducers. Bucketing on crc32(value) spreads phase 1
+    over key x 16 reducers and phase 2 moves 16 integer rows per key.
+    The oracle is the PLAIN COUNT(DISTINCT) - bucketing must be
+    semantically invisible."""
+    from formula1_etl_analytics_project_spark.operators.aggregates import (
+        salted_distinct_count,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_distinct_count(
+        li, ["l_returnflag"], "l_orderkey", out="n_distinct", buckets=16
+    )

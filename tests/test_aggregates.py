@@ -1,0 +1,56 @@
+"""Skew-safe holistic aggregation (operators/aggregates.py)."""
+
+from pyspark.sql import functions as F
+
+from formula1_etl_analytics_project_spark.operators.aggregates import (
+    salted_distinct_count,
+)
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_distinct_count_matches_plain(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    got = {
+        r["l_returnflag"]: r["n_distinct"]
+        for r in salted_distinct_count(
+            li, ["l_returnflag"], "l_orderkey", buckets=8
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_distinct_count_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None)],
+        "k string, v int",
+    )
+    rows = {
+        r["k"]: r["n_distinct"]
+        for r in salted_distinct_count(df, ["k"], "v", buckets=4).collect()
+    }
+    # NULL values are never counted, but an all-NULL key still yields
+    # its 0 row - same as groupBy(k).agg(countDistinct(v)).
+    assert rows == {"a": 1, "b": 0}
+
+
+def test_salted_distinct_count_partial_groups_by_value_bucket(spark):
+    """Phase 1 must group by (keys, _vbucket) so a hot key spreads;
+    phase 2 groups by keys alone."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    plan = (
+        salted_distinct_count(li, ["l_returnflag"], "l_orderkey")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # phase 1 groups by (key, pmod(crc32(value))), phase 2 by key alone
+    assert "pmod(crc32" in plan
+    assert plan.count("Aggregate [l_returnflag") == 2
