@@ -3056,3 +3056,86 @@ def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(
         li, ["l_returnflag"], "l_orderkey", out="n_distinct", buckets=16
     )
+
+
+_STREAM_UPSERT_SQL = """
+SELECT event_id, event_type,
+       CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value_final
+FROM events
+"""
+
+
+@_register(
+    "stream_incremental_upsert",
+    _STREAM_UPSERT_SQL,
+    tags=("streaming", "sink"),
+)
+def q_stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-load path driven end-to-end inside the
+    correctness gate: a base snapshot of every event arrives in early
+    micro-batches, then an update wave (every 7th event with a doubled
+    value) arrives in later ones; ``incremental_upsert_stream`` merges
+    each micro-batch into the crash-safe versioned snapshot store
+    (write-new-then-repoint, streaming/pipeline.py), and the final
+    snapshot read through ``read_snapshot`` must equal base-with-
+    updates-applied. File mtimes are pinned so the file source's
+    (modTime, path) ordering replays base strictly before updates -
+    the merge itself needs no ordering hints because each wave is
+    key-unique per file. Doubling a float is exact in binary, so the
+    oracle is bit-identical."""
+    import time as _time
+
+    from formula1_etl_analytics_project_spark.sources.sinks import read_snapshot
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        incremental_upsert_stream,
+    )
+    from pyspark.sql import types as T
+
+    stage = _stage_dir(sf_dir, "streamupsert", "events")
+    data_dir = os.path.join(stage, "data")
+    done = os.path.join(stage, "_STAGED_OK")
+    if not os.path.exists(done):
+        base = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        base.repartition(2).write.mode("overwrite").parquet(data_dir)
+        early = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        updates = base.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+        updates.repartition(2).write.mode("append").parquet(data_dir)
+        late = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet") and os.path.join(data_dir, f) not in early
+        ]
+        now = _time.time()
+        for f in early:
+            os.utime(f, (now - 600, now - 600))
+        for f in late:
+            os.utime(f, (now, now))
+        with open(done, "w"):
+            pass
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    snap = os.path.join(stage, f"snap_{uuid.uuid4().hex[:8]}")
+    q = incremental_upsert_stream(stream, snap, keys=["event_id"])
+    q.awaitTermination()
+    return read_snapshot(spark, snap).select(
+        "event_id", "event_type", F.col("value").alias("value_final")
+    )
