@@ -3139,3 +3139,158 @@ def q_stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, snap).select(
         "event_id", "event_type", F.col("value").alias("value_final")
     )
+
+
+_FUZZY_PAIRS_SQL = """
+WITH d AS (
+  SELECT DISTINCT regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS n
+  FROM part
+), b1 AS (
+  SELECT n, split_part(n, ' ', 2) AS b FROM d
+), b2 AS (
+  SELECT n, split_part(n, ' ', 1) AS b FROM d
+), cand AS (
+  SELECT a.n AS ln, c.n AS rn
+  FROM b1 a JOIN b1 c ON a.b = c.b AND a.n < c.n
+  WHERE abs(length(a.n) - length(c.n)) <= 2 AND levenshtein(a.n, c.n) <= 2
+  UNION
+  SELECT a.n, c.n
+  FROM b2 a JOIN b2 c ON a.b = c.b AND a.n < c.n
+  WHERE abs(length(a.n) - length(c.n)) <= 2 AND levenshtein(a.n, c.n) <= 2
+)
+SELECT ln AS left_name, rn AS right_name,
+       levenshtein(ln, rn) AS edit_dist
+FROM cand
+"""
+
+
+@_register("fuzzy_name_pairs", _FUZZY_PAIRS_SQL, tags=("linkage", "dedup"))
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part-name vocabulary
+    (operators/linkage.py): distinct the names, block by last token AND
+    by first token (union of blockers - one blocker missing a pair does
+    not cost recall), length-prefilter, then levenshtein <= 2. The
+    reference resolves entities only by exact key (SURVEY.md section
+    2.5); this is the typo/variant-collapse step a corpus pipeline
+    needs before exact keys exist. Never all-pairs: candidates exist
+    only inside blocks, and the pair space runs on the distinct
+    vocabulary, not the row count."""
+    from formula1_etl_analytics_project_spark.operators.linkage import (
+        blocked_edit_pairs,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    return blocked_edit_pairs(
+        part,
+        "p_name",
+        blockers=(
+            lambda n: F.split(n, " ").getItem(1),
+            lambda n: F.split(n, " ").getItem(0),
+        ),
+        max_dist=2,
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@_register("event_funnel", _FUNNEL_SQL, tags=("analytics", "time"))
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view -> click -> purchase per user
+    (operators/linkage.py funnel_first_times): each step's first
+    completion time STRICTLY AFTER the previous step's. Events out of
+    order do not count - a click before the first view is not a funnel
+    click. All stages filter+aggregate+join on the same user key, so
+    the shuffles share one partitioning; per-stage state is |users|,
+    never |events| (see the operator docstring for the 100 TB notes).
+    ts is micros in both engines (sources/readers.py nanos contract),
+    so the strict > comparisons agree bit-for-bit."""
+    from formula1_etl_analytics_project_spark.operators.linkage import (
+        funnel_first_times,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_first_times(
+        ev,
+        "user_id",
+        "ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+# Approximate sketches cannot hash-match a different engine's
+# implementation (HLL++ and Greenwald-Khanna are Spark-specific), so
+# the gate pins their ACCURACY CONTRACT instead: the query emits one
+# row per group whose approximate answer violates a generous error
+# bound around the exact answer computed in the same plan, and the
+# oracle is the empty relation. A broken sketch produces rows -> a
+# driver hash mismatch; in-Spark determinism and tight-bound checks
+# live in tests/test_linkage.py.
+_APPROX_GATE_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS DOUBLE) AS exact_val,
+       CAST(NULL AS DOUBLE) AS approx_val
+WHERE FALSE
+"""
+
+
+@_register("approx_agg_gate", _APPROX_GATE_SQL, tags=("agg", "approx"))
+def q_approx_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-contract gate for Spark's approximate aggregates: per
+    event_type, approx_count_distinct(user_id, rsd=0.05) must land
+    within 15% of the exact distinct count (3x the requested rsd), and
+    approx_percentile(value, 0.5, 10000) must land between the exact
+    45th and 55th percentiles. Violating groups are emitted; the
+    expected - and asserted - result is empty. At 100 TB these sketches
+    ARE the affordable answer (mergeable, single-pass, fixed memory);
+    gating their error keeps 'affordable' from drifting into 'wrong'."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("double").alias("exact_nd"),
+        F.approx_count_distinct("user_id", 0.05)
+        .cast("double")
+        .alias("approx_nd"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_med"),
+    )
+    nd_bad = g.where(
+        F.abs(F.col("approx_nd") - F.col("exact_nd"))
+        > 0.15 * F.col("exact_nd")
+    ).select(
+        "event_type",
+        F.lit("ndv").alias("kind"),
+        F.col("exact_nd").alias("exact_val"),
+        F.col("approx_nd").alias("approx_val"),
+    )
+    med_bad = g.where(
+        (F.col("approx_med") < F.col("p45"))
+        | (F.col("approx_med") > F.col("p55"))
+    ).select(
+        "event_type",
+        F.lit("median").alias("kind"),
+        ((F.col("p45") + F.col("p55")) / 2).alias("exact_val"),
+        F.col("approx_med").cast("double").alias("approx_val"),
+    )
+    return nd_bad.unionByName(med_bad)
