@@ -30,6 +30,10 @@ idioms); this module is the scale-shaped twin of that surface.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -64,4 +68,66 @@ def salted_distinct_count(
     )
     return partial.groupBy(*keys).agg(
         F.sum("_partial").alias(out)
+    )
+
+
+def exact_heavy_hitters(
+    df: DataFrame, key: str, k: int, out: str = "cnt"
+) -> DataFrame:
+    """EXACT keys with frequency > N/(k+1), in O(k) state per task.
+
+    The naive ``groupBy(key).count()`` keeps one hash-map entry per
+    DISTINCT key in every map task - at 100 TB a high-cardinality key
+    (URL, doc fingerprint) spills the partial aggregate long before
+    the reduce starts. Heavy hitters don't need that: Misra-Gries with
+    ``k`` counters per partition undercounts any key by at most
+    ``n_p/(k+1)``, so a key whose GLOBAL count exceeds ``N/(k+1)``
+    must survive in at least one partition's summary (pigeonhole over
+    the per-partition bounds). Two passes make the answer exact and
+    partitioning-independent:
+
+      pass 1  mapInPandas Misra-Gries -> candidate keys
+              (<= k rows per partition; merge rule from Agarwal et
+              al., "Mergeable Summaries": combine counts, subtract
+              the (k+1)-st largest, drop non-positive)
+      pass 2  broadcast-semi-join the candidates, count exactly,
+              keep count*(k+1) > N
+
+    Pass 2 filters any spurious pass-1 survivors against the exact
+    global threshold, so the result set is deterministic even though
+    the intermediate candidate set depends on the partition layout.
+
+    Reference scope note: the reference's closest surface is pandas
+    ``value_counts`` over the wide frame (single-node, unbounded
+    state); this is its bounded-state cluster twin.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for batch in batches:
+            vc = batch[key].value_counts()
+            for val, c in vc.items():
+                counters[val] = counters.get(val, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    candidates = (
+        df.select(key).mapInPandas(_mg, schema=df.select(key).schema).distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    exact = (
+        df.join(F.broadcast(candidates), on=key, how="left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col(out) * (k + 1) > F.col("_total"))
+        .drop("_total")
     )

@@ -3,7 +3,15 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog,
     catalog_etl,
     catalog_ext,
+    catalog_r4,
     star,
 )
 
-__all__ = ["star", "analytics", "catalog", "catalog_ext", "catalog_etl"]
+__all__ = [
+    "star",
+    "analytics",
+    "catalog",
+    "catalog_ext",
+    "catalog_etl",
+    "catalog_r4",
+]
