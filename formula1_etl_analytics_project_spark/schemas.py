@@ -250,8 +250,9 @@ STAR_SCHEMAS: dict[str, T.StructType] = {
 
 # ---------------------------------------------------------------------------
 # Driver testdata tables (/root/testdata/sf*/, TESTDATA.md). Schemas match
-# the parquet footers; events.ts is physically TIMESTAMP(NANOS), surfaced
-# as LongType by the nanosAsLong conf and converted in sources.readers.
+# the parquet footers; events.ts has shipped as TIMESTAMP(NANOS) (surfaced
+# as LongType by the nanosAsLong conf) and as TIMESTAMP(MICROS, NTZ) -
+# sources.readers.read_table normalizes either to session-UTC TIMESTAMP.
 # ---------------------------------------------------------------------------
 
 TESTDATA_TABLES = (

@@ -33,11 +33,20 @@ def read_table(
 ) -> DataFrame:
     """Read one driver testdata table.
 
-    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark
-    surfaces as a raw long under ``spark.sql.legacy.parquet.nanosAsLong``.
-    Convert with integer division (``div 1000``) - floating-point
-    division at 1e18 nanoseconds loses microsecond precision - which
-    matches DuckDB's truncating nanos->micros read bit-for-bit.
+    ``events.ts`` has shipped in two physical flavors across driver
+    rounds, and the engine normalizes BOTH to a session-UTC TIMESTAMP
+    so every downstream expression (``unix_micros``, casts to long,
+    range frames) sees one type:
+
+    * TIMESTAMP(NANOS): Spark surfaces it as a raw long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; convert with integer
+      division (``div 1000``) - floating-point division at 1e18
+      nanoseconds loses microsecond precision - matching DuckDB's
+      truncating nanos->micros read bit-for-bit.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ; cast to TIMESTAMP, which under the engine's
+      pinned-UTC session interprets the wall-clock value as UTC -
+      exactly how DuckDB reads the same naive micros.
 
     ``spread=True`` repartitions a scan that has fewer splits than the
     cluster has cores. Use it for compute-heavy per-row work (shingling,
@@ -59,8 +68,12 @@ def read_table(
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
