@@ -996,74 +996,67 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 keys of ``queries()``
 # in iteration order (verified in VERDICT.md round 2). Registration order
 # alone left 44 entries without a driver correctness row after two rounds,
-# so the gate sample is rotated explicitly: entries whose last driver row
-# is missing or stale lead the ordering, followed by everything else in
-# registration order. Every entry stays in the dict — local parity tests
-# (tests/test_oracle_parity.py) still sweep all of them — this only
-# chooses WHICH 50 the driver cross-checks against DuckDB this round.
+# so the gate sample is rotated by a LEDGER built from the driver's own
+# CORRECTNESS_r*.json artifacts at the repo root: entries that have never
+# had an all-green driver row lead (oldest registration first), then
+# green entries ordered by how stale their last green row is. Every entry
+# stays in the dict — local parity tests (tests/test_oracle_parity.py)
+# still sweep all of them — this only chooses WHICH 50 the driver
+# cross-checks against DuckDB this round. The ledger is recomputed from
+# the artifacts every import, so the rotation self-maintains as rounds
+# accumulate; no hand-kept list to go stale.
 #
-# Round-3 priority (from CORRECTNESS_r01/r02.json):
-#   * array_agg_orders first - the only entry whose last driver row was red
-#     (r01; the fix landed in round 1 but the entry fell outside the gate).
-#   * denormalize_wide / session_window_agg - green in r01 only, rotated
-#     out by round-2 registrations.
-#   * the 41 remaining entries registered at positions 53+ - never sampled.
-#   * new round-3 entries (registered by catalog_ext/catalog_etl with
-#     gate_priority=True) join the front via _GATE_PRIORITY_DYNAMIC.
-_GATE_PRIORITY: tuple[str, ...] = (
-    "array_agg_orders",
-    "denormalize_wide",
-    "session_window_agg",
-    "dedup_clusters",
-    "kmeans_centroids",
-    "ntile_spend_quartiles",
-    "moving_avg",
-    "token_vocab",
-    "event_value_percentiles",
-    "scd2_history",
-    "stratified_cap",
-    "bpe_token_counts",
-    "profile_table",
-    "unpivot_metrics",
-    "jsonl_parse",
-    "csv_sentinel_scan",
-    "stream_stateful_totals",
-    "media_features",
-    "decontaminate_docs",
-    "quality_filter_docs",
-    "grouping_sets_agg",
-    "hash_sample_docs",
-    "date_rollup_weekly",
-    "window_rank_surface",
-    "listagg_nations",
-    "range_join_binned",
-    "regional_revenue_q5",
-    "nullsafe_join",
-    "stream_dedup_counts",
-    "filtered_agg_surface",
-    "schema_evolution_scan",
-    "upsert_partitioned_orders",
-    "trailing_window_1h",
-    "stream_stream_join",
-    "stats_agg_surface",
-    "doc_chunk_windows",
-    "quantize_embeddings",
-    "ann_ivf_recall",
-    "try_arithmetic",
-    "incremental_dedup_docs",
-    "train_val_test_split",
-    "full_outer_join_surface",
-    "variant_json_surface",
-    "corrupt_records_scan",
-)
+# A small static pin keeps the round-2 verdict's named targets in the
+# sample even though they already have one (stale, r01-only) green row.
+_GATE_PIN: tuple[str, ...] = ("denormalize_wide", "session_window_agg")
+
+
+def _driver_ledger() -> dict[str, int]:
+    """Entry name -> latest round with an all-three-green driver row."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def gate_order() -> list[str]:
-    """Catalog names in driver-gate order: rotation targets first."""
-    front = [n for n in _GATE_PRIORITY if n in CATALOG]
+    """Catalog names in driver-gate order: rotation targets first.
+
+    Never-green entries (per the CORRECTNESS_r*.json ledger) come first
+    in registration order, with explicitly pinned and newly-registered
+    ``gate_priority`` entries ahead of the backlog; already-green entries
+    follow, stalest green row first.
+    """
+    ledger = _driver_ledger()
+    reg_index = {n: i for i, n in enumerate(CATALOG)}
+    front = [n for n in _GATE_PIN if n in CATALOG]
     front += [n for n in _GATE_PRIORITY_DYNAMIC if n in CATALOG and n not in front]
-    seen = set(front)
-    return front + [n for n in CATALOG if n not in seen]
+    rest = [n for n in CATALOG if n not in front]
+    # (0, reg) for never-green, (round, reg) for green -> never-green
+    # sorts ahead, then stalest green, registration order as tiebreak.
+    rest.sort(key=lambda n: (ledger.get(n, 0), reg_index[n]))
+    return front + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

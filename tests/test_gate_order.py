@@ -48,22 +48,37 @@ def test_queries_and_oracles_iterate_in_gate_order():
 
 
 def test_first_50_samples_the_unverified_entries_first():
-    """Every entry lacking a green driver row (or carrying only a stale
-    pre-round-2 row: array_agg_orders red in r01, denormalize_wide /
-    session_window_agg green only in r01) must sit inside the first-50
-    window the driver checks."""
+    """The driver checks the first 50 keys; every slot must count.
+    Never-green entries (plus the verdict-pinned stale-green pair) fill
+    the window before ANY entry that already has a green driver row."""
     order = catalog.gate_order()[:50]
     green = _ever_green()
-    stale = {"array_agg_orders", "denormalize_wide", "session_window_agg"}
     must_sample = (set(catalog.CATALOG) - green) | (
-        stale & set(catalog.CATALOG)
+        set(catalog._GATE_PIN) & set(catalog.CATALOG)
     )
-    overflow = must_sample - set(order)
-    # Rotation targets may legitimately overflow only once the catalog
-    # grows past 50 unsampled entries; flag anything else.
-    assert not overflow or len(must_sample) > 50, (
-        f"unsampled entries pushed outside the driver gate: {sorted(overflow)}"
-    )
+    if len(must_sample) >= 50:
+        # Backlog exceeds the window: all 50 slots must be rotation
+        # targets — a green, unpinned entry inside the window wastes one.
+        wasted = [n for n in order if n not in must_sample]
+        assert not wasted, f"gate slots wasted on already-green entries: {wasted}"
+    else:
+        overflow = must_sample - set(order)
+        assert not overflow, (
+            f"unsampled entries pushed outside the driver gate: {sorted(overflow)}"
+        )
+
+
+def test_gate_order_prefers_stalest_green_rows_after_backlog():
+    """Once the never-green backlog clears, rotation continues by ledger
+    staleness: among already-green unpinned entries, one whose last green
+    row is older must never sort after a fresher one."""
+    ledger = catalog._driver_ledger()
+    order = catalog.gate_order()
+    pinned = set(catalog._GATE_PIN) | set(catalog._GATE_PRIORITY_DYNAMIC)
+    rounds = [
+        ledger[n] for n in order if n in ledger and n not in pinned
+    ]
+    assert rounds == sorted(rounds)
 
 
 def test_new_gate_priority_entries_land_in_first_50():
