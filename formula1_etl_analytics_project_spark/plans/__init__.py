@@ -4,6 +4,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_etl,
     catalog_ext,
     catalog_r4,
+    catalog_r5,
     star,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "catalog_ext",
     "catalog_etl",
     "catalog_r4",
+    "catalog_r5",
 ]

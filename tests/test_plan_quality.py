@@ -409,3 +409,26 @@ def test_aqe_skew_split_fires_only_when_tuned(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_repetition_signals_collapses_tokens_map_side(spark):
+    """The exploded token stream must hit a partial HashAggregate on
+    (doc_id, word) BEFORE the exchange - the shuffle payload is the
+    per-doc vocabulary, not the raw token stream. Without the partial
+    agg the explode output (tens of tokens per doc) crosses the wire
+    verbatim and the operator stops scaling."""
+    plan = _plan(spark, "repetition_signals")
+    assert "partial_count" in plan
+    assert "Generate" in plan  # the explode is really there
+    # exactly one data shuffle: (doc_id, w) partial -> doc_id agg reuses
+    # the same hash partitioning prefix
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_domain_mix_weights_broadcasts_total(spark):
+    """The k-row normalizing total must broadcast back onto the k-row
+    per-domain aggregate - a sort-merge or shuffled join here would
+    reshuffle the corpus-scan output for a 20-row arithmetic step."""
+    plan = _plan(spark, "domain_mix_weights")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
