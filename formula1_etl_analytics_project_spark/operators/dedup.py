@@ -53,15 +53,40 @@ def dedup_keep_first(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_expr(shingle_col: Column, seed: int) -> Column:
-    """One minhash: lexicographic min of md5(seed || shingle).
+# Kirsch-Mitzenmacher double hashing (2^32 modulus): the hash family
+# g_i(s) = (h1(s) + i * h2(s)) mod 2^32 needs ONE md5 per shingle for
+# ANY number of minhash functions - h1/h2 are the md5's first/second
+# 32-bit words. KM06 shows the two-hash combination preserves the
+# collision analysis the MinHash estimate rests on. The previous
+# md5-per-seed form hashed every shingle num_hashes times inside a
+# CodegenFallback higher-order expression; at sf0.1 that was the
+# dominant signature-build cost and, under a cold JIT, produced
+# uniform 8-40x task slowdowns (all 32 tasks equally slow - measured
+# via event-log task times). 32-bit words in BIGINT arithmetic are
+# exact and identical in Spark and DuckDB, keeping signatures
+# engine-portable.
+_MH_MOD = 1 << 32
 
-    String-min rather than numeric-min keeps the signature engine-
-    portable (identical md5 hex in Spark and DuckDB, no 64-bit
-    conversion quirks).
-    """
+
+def _hash_pair_expr(shingle_col: Column) -> Column:
+    """array<struct<h1,h2>>: the two 32-bit md5 words per shingle."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+        ),
+    )
+
+
+def _minhash_from_pairs(pair_col: Column, seed: int) -> Column:
+    """min over shingles of g_seed = (h1 + seed*h2) mod 2^32."""
     return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        F.transform(pair_col, lambda p: (p.h1 + seed * p.h2) % _MH_MOD)
     )
 
 
@@ -73,11 +98,15 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """doc -> (id, minhash_0..minhash_{n-1}) signature row."""
-    sh = shingles(text_col, k=shingle_k)
-    sig_cols = [
-        _minhash_expr(sh, seed).alias(f"mh_{seed}") for seed in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    hp = _hash_pair_expr(shingles(text_col, k=shingle_k))
+    base = df.select(F.col(id_col), hp.alias("_hp"))
+    return base.select(
+        F.col(id_col),
+        *[
+            _minhash_from_pairs(F.col("_hp"), seed).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -99,19 +128,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(text_col, k=shingle_k)
-    # Persist the signature table: without a materialization boundary,
-    # Catalyst's projection collapse inlines the shingle expression into
-    # all num_hashes minhash expressions AND both sides of the self-join
-    # (~16x recompute, measured 9x slower). At cluster scale this
+    # Persist the shingle+hash-word table BEFORE deriving the minhash
+    # columns: without a materialization boundary, Catalyst's
+    # projection collapse inlines the shingle-and-md5 pipeline into all
+    # num_hashes minhash expressions AND both sides of the self-join
+    # (~16x recompute, measured 9x slower). Persisting the md5 WORDS
+    # (not the finished minhashes) also means the one expensive pass -
+    # tokenize, shingle, hash - runs exactly once; everything derived
+    # after the boundary is integer arithmetic. At cluster scale this
     # boundary is the signature index written to parquet; locally a
     # spill-safe cache is the same plan shape.
     base = (
-        df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
-        .withColumns(
-            {
-                f"mh_{i}": _minhash_expr(F.col("_shingles"), i)
-                for i in range(num_hashes)
-            }
+        df.select(
+            F.col(id_col).alias("_id"),
+            sh.alias("_shingles"),
+            _hash_pair_expr(sh).alias("_hp"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -125,7 +156,12 @@ def minhash_lsh_pairs(
         F.concat_ws(
             "|",
             F.lit(str(b)),
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            *[
+                _minhash_from_pairs(F.col("_hp"), b * rows_per_band + r).cast(
+                    "string"
+                )
+                for r in range(rows_per_band)
+            ],
         ).alias("band_key")
         for b in range(bands)
     ]

@@ -797,11 +797,17 @@ _SQL_SHINGLES = """
       FROM documents
     ), shingled AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh FROM normed
+    ), hp AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS h2
+      FROM shingled
     ), sigs AS (
       SELECT doc_id, sh,
-             [list_aggregate(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)), 'min')
+             [list_aggregate(list_transform(generate_series(1, len(h1)),
+                 j -> (h1[j] + h * h2[j]) % 4294967296), 'min')
               FOR h IN [0,1,2,3,4,5,6,7]] AS mh
-      FROM shingled
+      FROM hp
     ), banded AS (
       SELECT doc_id, sh, UNNEST([
         '0|' || mh[1] || '|' || mh[2],
@@ -826,7 +832,9 @@ _SQL_SHINGLES = """
     bench=True,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate detection: shingle -> 8 md5 minhashes
+    """MinHash+LSH near-duplicate detection: shingle -> 8 minhashes
+    from ONE md5 per shingle (Kirsch-Mitzenmacher double hashing:
+    g_i = (h1 + i*h2) mod 2^32 over the md5's two 32-bit words)
     -> 4 bands -> within-bucket candidate join -> exact Jaccard >= 0.5.
     The O(N^2) pair space never materializes - only same-band pairs."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
