@@ -150,3 +150,38 @@ def test_simhash_banding_rejects_unsound_params(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         simhash_pairs(df, nbits=16, band_bits=8, max_hamming=2).collect()
+
+
+def test_prefix_jaccard_is_lossless_vs_all_pairs(spark, docs):
+    """The AllPairs prefix filter must return EXACTLY the naive
+    all-pairs result - it is a lossless pruning, not a heuristic."""
+    from formula1_etl_analytics_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+    from formula1_etl_analytics_project_spark.functions.text import shingles
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        shingles("text", k=3).alias("_sh"),
+    )
+    jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(
+        F.array_union("l._sh", "r._sh")
+    )
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in sh.alias("l")
+        .join(sh.alias("r"), F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == naive
+    assert (1, 4, 1.0) in got  # the exact-dup pair survives

@@ -432,3 +432,13 @@ def test_domain_mix_weights_broadcasts_total(spark):
     plan = _plan(spark, "domain_mix_weights")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_prefix_jaccard_join_is_hash_not_nested_loop(spark):
+    """The exact set-similarity join must compile to a hash join on
+    the exploded prefix token - a nested-loop or cartesian here means
+    the prefix filter regressed to all-pairs."""
+    plan = _plan(spark, "prefix_jaccard_pairs")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
