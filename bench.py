@@ -9,8 +9,18 @@ Each query is timed end-to-end (plan build -> execution -> driver-side
 materialization via a count/collect of the final small result). One
 untimed warm-up run per query absorbs JVM JIT / codegen compilation
 (measured at 5-10s of one-time cost on first evaluation of a complex
-expression), then the best of two timed runs is reported - steady-state
-throughput, which is what matters at scale.
+expression), then the best of three timed runs is reported -
+steady-state throughput, which is what matters at scale.
+
+Variance note (measured round 3): the container's multi-core timing is
+noisy - an identical query re-run in one warm process spans 1.6-2.3s,
+and a fixed all-core workload occasionally takes 5-10x its usual
+wall-clock with zero GC activity and no competing processes (event-log
+task times show ALL tasks uniformly slower, pointing at host-level CPU
+contention). Best-of-3 bounds but does not eliminate this; treat
+round-over-round per-query deltas under ~2x as within noise, and
+compare plan shapes (tests/test_plan_quality.py) rather than
+single-digit-percent timings.
 """
 
 from __future__ import annotations

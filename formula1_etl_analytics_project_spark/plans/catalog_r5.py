@@ -61,6 +61,7 @@ FROM sig
     "repetition_signals",
     _REPETITION_SQL,
     tags=("text", "quality"),
+    bench=True,
     gate_priority=True,
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +252,7 @@ WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
     "prefix_jaccard_pairs",
     _PREFIX_PAIRS_SQL,
     tags=("text", "dedup", "ssjoin"),
+    bench=True,
     gate_priority=True,
 )
 def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
