@@ -368,3 +368,80 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("candidate_recall"),
     )
+
+
+# ===========================================================================
+# Recursive CTE + LATERAL join SQL surface (identical SQL both engines)
+# ===========================================================================
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS child,
+         CAST((c_custkey - c_custkey % 10) / 10 AS BIGINT) AS anc, 1 AS depth
+  FROM customer
+  WHERE CAST((c_custkey - c_custkey % 10) / 10 AS BIGINT) > 0
+  UNION ALL
+  SELECT a.child, CAST((a.anc - a.anc % 10) / 10 AS BIGINT), a.depth + 1
+  FROM anc a
+  WHERE CAST((a.anc - a.anc % 10) / 10 AS BIGINT) > 0
+)
+SELECT anc AS ancestor, COUNT(*) AS n_descendants, MAX(depth) AS max_depth
+FROM anc GROUP BY anc
+"""
+
+
+@_register(
+    "recursive_cte_closure",
+    _RECURSIVE_SQL,
+    tags=("sql", "recursive", "graph"),
+    gate_priority=True,
+)
+def q_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure (Spark 4 recursive CTEs):
+    ancestor -> descendant-count/max-depth over the deterministic
+    10-ary hierarchy parent(k) = k div 10 on customer keys - the
+    org-chart / BOM-rollup shape SQL engines are asked for daily and
+    Spark historically could not express (dedup_clusters implements
+    the same fixpoint imperatively for the dedup path; this entry pins
+    the declarative surface). The SQL text is IDENTICAL in both
+    engines - integer-exact arithmetic, no dialect fork. Spark
+    executes each recursion level as a distributed join, so the plan
+    scales with level width like the hand-rolled loop."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+WHERE c.c_custkey % 100 = 0
+"""
+
+
+@_register(
+    "lateral_topk_per_key",
+    _LATERAL_SQL,
+    tags=("sql", "lateral", "topk"),
+    gate_priority=True,
+)
+def q_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-key ORDER BY ... LIMIT -
+    the top-k-per-group idiom written the way an analyst writes it.
+    Spark decorrelates the lateral into a distributed join + per-key
+    limit rather than executing the subquery per outer row (the
+    rewrite window_rank_surface expresses by hand); the unique-key
+    tiebreak makes the k rows deterministic so the hash compare is
+    exact. Identical SQL text both engines."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
