@@ -185,3 +185,24 @@ def test_prefix_jaccard_is_lossless_vs_all_pairs(spark, docs):
     }
     assert got == naive
     assert (1, 4, 1.0) in got  # the exact-dup pair survives
+
+
+def test_prefix_jaccard_df_order_matches_lex(spark, docs):
+    """Both total orders are lossless, so their outputs must be
+    IDENTICAL - the df mode's extra frequency pass buys selectivity,
+    never a different answer."""
+    from formula1_etl_analytics_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    lex = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    df_ = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs(
+            docs, threshold=0.5, order="df"
+        ).collect()
+    }
+    assert lex == df_ and lex
