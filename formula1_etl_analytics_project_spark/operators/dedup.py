@@ -297,6 +297,14 @@ def prefix_jaccard_pairs(
     base.count()  # one materialization; prefix explode + verify reuse it
     n = F.size("_sh")
     plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # PPJoin length filter: J >= t forces t*|a| <= |b| <= |a|/t, so
+    # size-incompatible candidates are dropped BEFORE the exact verify
+    # - a one-integer-comparison prune on the join condition.
+    def _len_ok(na, nb):
+        return (nb >= F.ceil(F.lit(threshold) * na)) & (
+            nb <= F.floor(na / F.lit(threshold))
+        )
+
     if order == "lex":
         pref = base.select(
             "_id",
@@ -308,7 +316,8 @@ def prefix_jaccard_pairs(
             .join(
                 pref.alias("r"),
                 (F.col("l._tok") == F.col("r._tok"))
-                & (F.col("l._id") < F.col("r._id")),
+                & (F.col("l._id") < F.col("r._id"))
+                & _len_ok(F.size("l._sh"), F.size("r._sh")),
             )
             .select(
                 F.col("l._id").alias("id_a"),
@@ -335,14 +344,15 @@ def prefix_jaccard_pairs(
                 - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
                 + 1
             )
-            .select("_id", "_tok")
+            .select("_id", "_n", "_tok")
         )
         ids = (
             pref.alias("l")
             .join(
                 pref.alias("r"),
                 (F.col("l._tok") == F.col("r._tok"))
-                & (F.col("l._id") < F.col("r._id")),
+                & (F.col("l._id") < F.col("r._id"))
+                & _len_ok(F.col("l._n"), F.col("r._n")),
             )
             .select(
                 F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
