@@ -5,6 +5,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_ext,
     catalog_r4,
     catalog_r5,
+    catalog_r6,
     star,
 )
 
@@ -16,4 +17,5 @@ __all__ = [
     "catalog_etl",
     "catalog_r4",
     "catalog_r5",
+    "catalog_r6",
 ]

@@ -1,0 +1,222 @@
+"""Round-6 catalog entries: substring-level duplicate-n-gram scoring
+(the doc-level signal behind exact-substring training-data dedup) and
+an integer-fixpoint PageRank over the customer->supplier order graph
+(the iterative-graph-algorithm surface).
+
+Every entry follows the portability rules from plans/catalog.py:
+integer arithmetic wherever possible (PageRank runs ENTIRELY in
+fixed-point BIGINT so the iterative sums are bit-exact cross-engine),
+md5 for hashes, unique-key tiebreaks under every LIMIT.
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from formula1_etl_analytics_project_spark.functions.text import shingles
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+# ===========================================================================
+# Duplicate-n-gram fraction (substring-level dedup signal)
+# ===========================================================================
+
+_DUP_NGRAM_SQL = r"""
+WITH normed AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             i -> array_to_string(toks[i:i+4], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM normed
+), grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(UNNEST(sh)), 1, 15))::BIGINT AS gk
+  FROM shingled
+), gcount AS (
+  SELECT gk, COUNT(*) AS n_docs FROM grams GROUP BY gk
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_shingles,
+       ROUND(CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       (CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) > 0.5) AS mostly_duplicated
+FROM grams g JOIN gcount c USING (gk)
+GROUP BY g.doc_id
+"""
+
+
+@_register(
+    "dup_ngram_fraction",
+    _DUP_NGRAM_SQL,
+    tags=("text", "dedup"),
+    bench=True,
+    gate_priority=True,
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (the doc-granular form of exact
+    5-gram training-data dedup a la "Deduplicating Training Data Makes
+    Language Models Better"): per document, the fraction of its
+    DISTINCT word 5-grams that also occur in at least one other
+    document, plus the >0.5 boilerplate flag a cleaning pipeline cuts
+    on. Two hash-aggregations and one join - but the critical scale
+    choice is that the raw 5-gram STRINGS never shuffle: each shingle
+    collapses to a 60-bit md5-derived BIGINT key executor-side, so the
+    global-count shuffle moves 8-byte keys instead of ~30-byte
+    strings. Hash collisions are reproduced bit-identically by the
+    oracle (same md5 prefix both engines), so the check is exact.
+    Documents shorter than 5 tokens degrade to one whole-text shingle
+    (same fallback as the minhash stack, functions/text.py:96)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles("text", 5)).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gk"),
+    )
+    # shingles() already dedups within-doc, so COUNT(*) per key is the
+    # number of distinct documents containing that 5-gram.
+    gcount = grams.groupBy("gk").agg(F.count("*").alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    frac = dup.cast("double") / F.count("*")
+    return (
+        grams.join(gcount, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac > 0.5).alias("mostly_duplicated"),
+        )
+    )
+
+
+# ===========================================================================
+# Integer-fixpoint PageRank over the customer->supplier order graph
+# ===========================================================================
+
+# Fixed-point scale: ranks live in units of 1e-12. All updates are
+# BIGINT adds and integer divisions, so iteration order cannot perturb
+# low bits - the property that makes an iterative float algorithm
+# hash-checkable across engines.
+_PR_INIT = 1_000_000_000_000  # 1.0
+_PR_BASE = 150_000_000_000  # 0.15
+
+_PAGERANK_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), outdeg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST({_PR_INIT} AS BIGINT) AS rank FROM nodes
+), s1 AS (
+  SELECT e.dst AS node, SUM(r.rank // o.d) AS inc
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node, {_PR_BASE} + (85 * COALESCE(s.inc, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN s1 s ON n.node = s.node
+), s2 AS (
+  SELECT e.dst AS node, SUM(r.rank // o.d) AS inc
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node, {_PR_BASE} + (85 * COALESCE(s.inc, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN s2 s ON n.node = s.node
+), s3 AS (
+  SELECT e.dst AS node, SUM(r.rank // o.d) AS inc
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.node, {_PR_BASE} + (85 * COALESCE(s.inc, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN s3 s ON n.node = s.node
+)
+SELECT node, rank AS pagerank_fp
+FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
+@_register(
+    "pagerank_orders",
+    _PAGERANK_SQL,
+    tags=("graph", "iterative"),
+    bench=True,
+    gate_priority=True,
+)
+def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd-style PageRank iterations over the bipartite
+    customer->supplier graph induced by orders x lineitem (suppliers
+    carry NEGATED keys so the two id spaces cannot collide at any
+    scale factor). Ranks are fixed-point BIGINTs (1e-12 units):
+    contribution = rank div outdeg, update = 0.15 + 0.85 * sum, all
+    in integer arithmetic - so the distributed aggregation is
+    bit-exact regardless of partial-sum order, which is what lets an
+    ITERATIVE algorithm pass a value-hash oracle check.
+
+    Scale shape: each iteration is one shuffle-join of the edge list
+    against the current rank vector (both partitioned by src) plus one
+    hash-agg by dst. The rank vector is nodes-sized (small relative to
+    edges) but scale-growing, so it is NOT pinned-broadcast - AQE
+    picks the strategy per round. The edge list and out-degrees are
+    loop-invariant and localCheckpoint()ed once so the 3 rounds reuse
+    one materialization instead of re-running the orders x lineitem
+    join per iteration (the same lineage-cut pattern as
+    operators/dedup.py connected_components)."""
+    orders = read_table(spark, sf_dir, "orders", spread=True)
+    lineitem = read_table(spark, sf_dir, "lineitem", spread=True)
+    edges = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.select("node", F.lit(_PR_INIT).cast("long").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", F.expr("`rank` div `d`").alias("c"))
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(85 * coalesce(inc, 0)) div 100")
+            ).alias("rank"),
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", F.col("rank").alias("pagerank_fp"))
+    )
