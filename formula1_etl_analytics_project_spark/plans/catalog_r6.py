@@ -220,3 +220,137 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("rank").alias("pagerank_fp"))
     )
+
+
+# ===========================================================================
+# Gaps-and-islands: maximal consecutive same-event runs
+# ===========================================================================
+
+_GAPS_ISLANDS_SQL = r"""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+), islands AS (
+  SELECT user_id, event_type, rn_all - rn_type AS island,
+         COUNT(*) AS run_len, MIN(event_id) AS first_event_id
+  FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT user_id, event_type, run_len, first_event_id
+FROM islands WHERE run_len >= 3
+ORDER BY run_len DESC, user_id, first_event_id LIMIT 50
+"""
+
+
+@_register(
+    "gaps_islands",
+    _GAPS_ISLANDS_SQL,
+    tags=("window", "sql-surface"),
+    gate_priority=True,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands - the classic row_number-difference trick for
+    maximal runs of consecutive identical values: per user, every
+    streak of >= 3 same-type events in (ts, event_id) order, with the
+    streak length and its first event id. Two window functions over
+    the SAME user_id partitioning (one Exchange, the second window
+    reuses the sort) then a hash-agg on the island key; (ts, event_id)
+    is a total order so island boundaries are deterministic. Scale
+    shape: everything is partitioned by user_id - no global window,
+    no driver state; the streak aggregate is map-side combinable."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events", spread=True)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    islands = ordered.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("run_len"),
+        F.min("event_id").alias("first_event_id"),
+    )
+    return (
+        islands.filter(F.col("run_len") >= 3)
+        .orderBy(F.desc("run_len"), "user_id", "first_event_id")
+        .limit(50)
+        .select("user_id", "event_type", "run_len", "first_event_id")
+    )
+
+
+# ===========================================================================
+# Market-basket co-occurrence: suppliers co-supplying the same order
+# ===========================================================================
+
+_COOCCURRENCE_SQL = r"""
+WITH sup AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       COUNT(*) AS n_orders
+FROM sup a JOIN sup b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY a.l_suppkey, b.l_suppkey
+ORDER BY n_orders DESC, supp_a, supp_b LIMIT 30
+"""
+
+
+@_register(
+    "supplier_cooccurrence",
+    _COOCCURRENCE_SQL,
+    tags=("analytics", "graph"),
+    gate_priority=True,
+)
+def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top supplier pairs by number
+    of orders they jointly supply. NOT the textbook self-join: the
+    baskets are aggregated first (one shuffle on the basket key, with
+    map-side partial collect_set), then the within-basket pairs are
+    expanded JVM-side with higher-order array functions - so the
+    whole pair space (quadratic only within one order, bounded by the
+    per-order line count ~7) never touches a join at all, and the
+    oracle's equivalent self-join form documents the semantics. Pair
+    counts collapse with a map-side-combinable count and the top-30
+    runs as TakeOrderedAndProject - no global sort. Sorting the
+    basket array canonicalizes pair order (a < b) so each pair
+    counts once."""
+    lineitem = read_table(spark, sf_dir, "lineitem", spread=True)
+    sets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ss", i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("supp_a"), y.alias("supp_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.supp_a", "p.supp_b")
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "supp_a", "supp_b")
+        .limit(30)
+    )

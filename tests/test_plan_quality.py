@@ -442,3 +442,56 @@ def test_prefix_jaccard_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_gaps_islands_windows_share_one_exchange(spark):
+    """Both row_number windows must run off ONE hash exchange on
+    user_id: HashPartitioning(user_id) satisfies the second window's
+    ClusteredDistribution(user_id, event_type) because the partition
+    keys are a subset of the clustering keys, so Spark only re-Sorts
+    between the windows. A second exchange here would double the
+    event-stream shuffle for no semantic gain."""
+    plan = _plan(spark, "gaps_islands")
+    assert plan.count("Window") >= 2
+    # one ENSURE_REQUIREMENTS hash exchange (the round-robin spread
+    # from read_table(spread=True) is input conditioning, not a
+    # window shuffle)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_supplier_cooccurrence_expands_pairs_without_join(spark):
+    """The basket pair expansion must happen JVM-side inside the
+    per-order array (collect_set -> transform/slice -> explode), NOT
+    as a distinct+self-join: no Join node of any kind in the plan,
+    and the only shuffles are the two hash-agg exchanges (basket
+    build, pair count)."""
+    plan = _plan(spark, "supplier_cooccurrence")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert "Generate" in plan  # the explode of the pair array
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_iterations_are_hash_joins(spark):
+    """Each PageRank round is a shuffle/hash join of edges against
+    the rank vector plus a hash-agg - never a nested-loop, and the
+    final top-20 must lower to TakeOrderedAndProject, not a global
+    sort of the rank vector."""
+    plan = _plan(spark, "pagerank_orders")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_ngram_shuffles_hashed_keys_not_strings(spark):
+    """The global 5-gram count must group on the 60-bit md5-derived
+    BIGINT key: the raw gram strings stay executor-local and only
+    8-byte keys cross the wire. A partial aggregate must collapse the
+    exploded grams before the exchange."""
+    plan = _plan(spark, "dup_ngram_fraction")
+    assert "partial_count" in plan
+    assert "Generate" in plan
+    # the grouping key is the conv(md5...) projection, not the gram
+    assert "gk" in plan
