@@ -354,3 +354,179 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "supp_a", "supp_b")
         .limit(30)
     )
+
+
+# ===========================================================================
+# Deterministic linear-regression aggregates (regr_* surface)
+# ===========================================================================
+
+_REGRESSION_SQL = r"""
+WITH pts AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS x,
+         CAST(value AS DECIMAL(30,4)) AS y
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(y * x) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@_register(
+    "regression_surface",
+    _REGRESSION_SQL,
+    tags=("agg", "stats"),
+    gate_priority=True,
+)
+def q_regression_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (value vs hour-of-day) - the
+    regr_slope / regr_intercept / regr_r2 surface, but DETERMINISTIC:
+    the built-in regr_* aggregates accumulate doubles in partition
+    order so their low bits drift run-to-run; deriving the fit from
+    EXACT moment sums (integer sums for x, decimal-cast sums for y,
+    xy, yy - the stats_agg_surface pattern lifted to covariances)
+    makes every statistic a pure scalar function of order-independent
+    aggregates, so the result is bit-stable at any parallelism. At
+    100 TB the five sums ride ONE hash aggregate - same cost as the
+    built-ins."""
+    events = read_table(spark, sf_dir, "events", spread=True)
+    y = F.col("value").cast("decimal(30,4)")
+    x = F.hour("ts")
+    pts = events.filter(F.col("value").isNotNull()).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    m = m.filter(den != 0)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+# ===========================================================================
+# Map-typed column surface
+# ===========================================================================
+
+_MAP_FUNCS_SQL = r"""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, cnt
+FROM counts WHERE cnt >= 3
+"""
+
+
+@_register(
+    "map_funcs_surface",
+    _MAP_FUNCS_SQL,
+    tags=("functions", "sql-surface"),
+    gate_priority=True,
+)
+def q_map_funcs_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column round-trip: per user, counts are packed into a
+    MAP<event_type, count> (map_from_entries over collect_list), the
+    map is transformed in place (map_filter keeps entries with count
+    >= 3), and map_entries + explode unpacks it back to rows. The
+    oracle states the end-to-end semantics relationally (GROUP BY +
+    HAVING), so the hash-match proves the map pack -> filter ->
+    unpack cycle is lossless. The map stays inside one row group-by
+    row - maps here are a per-row container type, not a shuffle
+    participant; the only exchanges are the two hash-aggs, identical
+    to the relational form."""
+    events = read_table(spark, sf_dir, "events", spread=True)
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    filtered = packed.select(
+        "user_id",
+        F.map_filter("m", lambda k, v: v >= 3).alias("m"),
+    )
+    return filtered.select(
+        "user_id", F.explode("m").alias("event_type", "cnt")
+    )
+
+
+# ===========================================================================
+# Video frame sampling (multimodal plumbing in the gate)
+# ===========================================================================
+
+_FRAME_SAMPLE_SQL = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (n_chars * 37) % 20000 + 500 AS duration_ms
+  FROM documents
+)
+SELECT media_id,
+       ts // 750 AS frame_idx,
+       ts AS frame_ts_ms
+FROM media, unnest(range(0, duration_ms, 750)) AS t(ts)
+"""
+
+
+@_register(
+    "frame_sample_plan",
+    _FRAME_SAMPLE_SQL,
+    tags=("multimodal",),
+    gate_priority=True,
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py
+    frame_sample): each media row expands to one row per sampled frame
+    at a 750 ms stride, timing driven purely by metadata (sequence +
+    posexplode - narrow, no UDF, no shuffle; pixel decode would plug
+    into the mapInPandas kernel per frame). Durations are synthesized
+    deterministically from document lengths since the container ships
+    no codecs; the oracle restates the stride arithmetic, so the
+    sampling grid - index and timestamp per frame - is value-checked
+    exactly. The explode multiplies rows by frames-per-video but the
+    projection stays two ints wide: the 100 TB shape is scan ->
+    generate -> sink with no exchange anywhere."""
+    from formula1_etl_analytics_project_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.struct(
+            ((F.col("n_chars") * 37) % 20000 + 500).alias("duration_ms")
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=750)
