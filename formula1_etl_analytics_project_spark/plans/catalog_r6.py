@@ -530,3 +530,149 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return frame_sample(media, every_ms=750)
+
+
+# ===========================================================================
+# SCD2 point-in-time join (fact joined to the dimension version valid
+# at fact time)
+# ===========================================================================
+
+_SCD2_PIT_SQL = r"""
+WITH changes AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderstatus,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders)
+  WHERE rn = 1
+), scd2 AS (
+  SELECT o_custkey, o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER w,
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+         o_orderstatus AS status
+  FROM changes
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+), fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship_ts,
+         CAST(l.l_extendedprice AS DECIMAL(30,4)) AS price
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.status,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(f.price) AS DOUBLE), 4) AS revenue
+FROM fact f JOIN scd2 d
+  ON f.custkey = d.o_custkey
+ AND f.ship_ts >= d.valid_from AND f.ship_ts < d.valid_to
+GROUP BY d.status
+"""
+
+
+@_register(
+    "scd2_point_in_time_join",
+    _SCD2_PIT_SQL,
+    tags=("join", "etl"),
+    gate_priority=True,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each line item picks up the
+    customer-status VERSION that was valid when the item shipped -
+    facts against an SCD2 dimension, the lookup every
+    as-of-correct warehouse query needs (ship dates trail order
+    dates, so the valid version is often NOT the one created with
+    the order). The interval set partitions time per customer, so
+    each fact matches at most one version and the join stays an
+    EQUI-join on custkey with the interval predicate applied as a
+    post-join filter: one hash-partition exchange per side, no
+    range-explosion, no nested loop (versions-per-customer is small
+    and bounded by change count). Revenue goes through the exact
+    decimal-sum pattern so the rollup is order-independent."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders", spread=True)
+    lineitem = read_table(spark, sf_dir, "lineitem", spread=True)
+    dedup_w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    changes = (
+        orders.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(w)
+    scd2 = changes.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+        ).alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    fact = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship_ts"),
+        F.col("l_extendedprice").cast("decimal(30,4)").alias("price"),
+    )
+    joined = fact.join(
+        scd2,
+        (fact["custkey"] == scd2["o_custkey"])
+        & (fact["ship_ts"] >= scd2["valid_from"])
+        & (fact["ship_ts"] < scd2["valid_to"]),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("price").cast("double"), 4).alias("revenue"),
+    )
+
+
+# ===========================================================================
+# Incremental aggregate maintenance: merge(partials) == full recompute
+# ===========================================================================
+
+_INCR_AGG_SQL = r"""
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 4)
+         AS total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "incremental_agg_merge",
+    _INCR_AGG_SQL,
+    tags=("agg", "etl"),
+    gate_priority=True,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the standing per-(year,
+    status) aggregate STATE (counts + exact decimal sums from prior
+    runs, here orders with o_orderkey % 7 != 0) absorbs a new batch
+    (the % 7 == 0 rows) by aggregating ONLY the batch and merging
+    partials - sum of counts, sum of sums - never rescanning history.
+    The oracle recomputes from the full table, so the hash-match IS
+    the algebraic-mergeability proof (count/sum are commutative
+    monoids; the decimal sums make the merge bit-exact in any order).
+    At 100 TB this is the difference between O(batch) and O(history)
+    per refresh; AVG-style aggregates must ship as (sum, count)
+    pairs, which is exactly the state kept here."""
+    orders = read_table(spark, sf_dir, "orders", spread=True)
+    dec = F.col("o_totalprice").cast("decimal(30,4)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count("*").alias("pn"), F.sum(dec).alias("ps"))
+
+    state = partial(orders.filter(F.col("o_orderkey") % 7 != 0))
+    batch = partial(orders.filter(F.col("o_orderkey") % 7 == 0))
+    merged = state.unionByName(batch).groupBy("yr", "status").agg(
+        F.sum("pn").alias("n_orders"),
+        F.round(F.sum("ps").cast("double"), 4).alias("total"),
+    )
+    return merged

@@ -495,3 +495,14 @@ def test_dup_ngram_shuffles_hashed_keys_not_strings(spark):
     assert "Generate" in plan
     # the grouping key is the conv(md5...) projection, not the gram
     assert "gk" in plan
+
+
+def test_scd2_point_in_time_join_is_equi_hash_join(spark):
+    """The temporal join must anchor on the custkey EQUI-key with the
+    validity-interval predicate as a post-join filter - a nested-loop
+    or cartesian plan here means the range predicate leaked into the
+    join strategy and the fact side stops scaling."""
+    plan = _plan(spark, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
