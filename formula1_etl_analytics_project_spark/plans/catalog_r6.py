@@ -111,9 +111,12 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed-point scale: ranks live in units of 1e-12. All updates are
 # BIGINT adds and integer divisions, so iteration order cannot perturb
 # low bits - the property that makes an iterative float algorithm
-# hash-checkable across engines.
-_PR_INIT = 1_000_000_000_000  # 1.0
-_PR_BASE = 150_000_000_000  # 0.15
+# hash-checkable across engines. Constants shared with the operator so
+# the SQL template below cannot drift from the Spark implementation.
+from formula1_etl_analytics_project_spark.operators.graph import (  # noqa: E402
+    PR_BASE as _PR_BASE,
+    PR_INIT as _PR_INIT,
+)
 
 _PAGERANK_SQL = f"""
 WITH edges AS (
@@ -179,6 +182,10 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     one materialization instead of re-running the orders x lineitem
     join per iteration (the same lineage-cut pattern as
     operators/dedup.py connected_components)."""
+    from formula1_etl_analytics_project_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
     orders = read_table(spark, sf_dir, "orders", spread=True)
     lineitem = read_table(spark, sf_dir, "lineitem", spread=True)
     edges = (
@@ -193,28 +200,7 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ranks = nodes.select("node", F.lit(_PR_INIT).cast("long").alias("rank"))
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select("dst", F.expr("`rank` div `d`").alias("c"))
-        )
-        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
-        ranks = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
-            "node",
-            (
-                F.lit(_PR_BASE)
-                + F.expr("(85 * coalesce(inc, 0)) div 100")
-            ).alias("rank"),
-        )
+    ranks = pagerank_fixed_point(edges, iterations=3)
     return (
         ranks.orderBy(F.desc("rank"), "node")
         .limit(20)

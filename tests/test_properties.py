@@ -135,3 +135,91 @@ def test_parse_time_total_and_shaped(spark, values):
             r"([01]\d|2[0-3]):[0-5]\d:[0-5]\d", r["s"]
         ):
             assert r["t"] == r["s"], r
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-6, max_value=6),  # small id space -> dense
+        st.integers(min_value=-6, max_value=6),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edge_list=edges_strategy)
+@SETTINGS
+def test_pagerank_matches_pure_python_fixpoint(spark, edge_list):
+    """The distributed fixed-point PageRank must reproduce the
+    pure-Python reference EXACTLY on any graph (self-loops, dangling
+    nodes, isolated sources, cycles): integer arithmetic means there
+    is no tolerance - a single-unit drift is a bug in the iteration
+    structure, not rounding."""
+    from formula1_etl_analytics_project_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_fixed_point_local,
+    )
+
+    distinct_edges = sorted(set(edge_list))
+    edges = spark.createDataFrame(distinct_edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+    assert got == pagerank_fixed_point_local(distinct_edges, iterations=3)
+
+
+baskets_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # basket id
+        st.integers(min_value=0, max_value=8),  # item id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=baskets_strategy)
+@SETTINGS
+def test_basket_pair_expansion_matches_itertools(spark, rows):
+    """The JVM-side pair expansion (collect_set -> sorted array ->
+    transform/slice -> explode) behind supplier_cooccurrence must
+    enumerate exactly itertools.combinations(sorted(distinct items), 2)
+    per basket - no dropped, duplicated, or unordered pairs."""
+    import itertools
+
+    from collections import Counter
+
+    expected: Counter = Counter()
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            expected[(a, c)] += 1
+
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_suppkey"])
+    sets = (
+        df.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ss",
+                            i + 2,
+                            F.greatest(F.size("ss") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    got = Counter((r["a"], r["b"]) for r in pairs.collect())
+    assert got == expected
