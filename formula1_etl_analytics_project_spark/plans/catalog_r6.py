@@ -558,6 +558,7 @@ GROUP BY d.status
     "scd2_point_in_time_join",
     _SCD2_PIT_SQL,
     tags=("join", "etl"),
+    bench=True,
     gate_priority=True,
 )
 def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
