@@ -223,3 +223,43 @@ def test_basket_pair_expansion_matches_itertools(spark, rows):
     ).select("p.a", "p.b")
     got = Counter((r["a"], r["b"]) for r in pairs.collect())
     assert got == expected
+
+
+merge_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # key (orderkey stand-in)
+        st.integers(min_value=0, max_value=3),  # group
+        st.integers(min_value=-10_000, max_value=10_000),  # amount (cents)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=merge_rows_strategy, k=st.integers(min_value=2, max_value=9))
+@SETTINGS
+def test_partial_aggregate_merge_equals_full_recompute(spark, rows, k):
+    """The incremental_agg_merge contract on arbitrary data and an
+    arbitrary batch split: aggregating state and batch separately and
+    merging the (count, sum) partials must equal aggregating
+    everything at once - for ANY split modulus, including splits
+    where one side is empty. Integer amounts make the check exact."""
+    df = spark.createDataFrame(rows, ["id", "grp", "amt"])
+
+    def partial(d):
+        return d.groupBy("grp").agg(
+            F.count("*").alias("pn"), F.sum("amt").alias("ps")
+        )
+
+    merged = (
+        partial(df.filter(F.col("id") % k != 0))
+        .unionByName(partial(df.filter(F.col("id") % k == 0)))
+        .groupBy("grp")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+    )
+    full = df.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("amt").alias("s")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
