@@ -663,3 +663,87 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ps").cast("double"), 4).alias("total"),
     )
     return merged
+
+
+# ===========================================================================
+# TPC-H Q18 shape: HAVING-subquery membership + top-k (identical SQL)
+# ===========================================================================
+
+_Q18_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4))) AS DOUBLE), 4)
+         AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 150
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, o.o_orderkey LIMIT 20
+"""
+
+
+@_register(
+    "sql_surface_q18",
+    _Q18_SQL,
+    tags=("sql", "join", "topk"),
+    gate_priority=True,
+)
+def q_sql_surface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): IN over a GROUP BY/HAVING
+    subquery, a 3-way join, and a global top-20. Identical SQL text
+    both engines; quantities go through exact decimal sums so the
+    HAVING cut and the ranking are order-independent. Spark plans the
+    IN-subquery as a left-semi join against the pre-aggregated
+    lineitem (no per-row subquery execution), the 3-way join
+    shuffle-partitions on the order key, and the top-20 lowers to
+    TakeOrderedAndProject - the membership filter reduces the join
+    input BEFORE the wide aggregation, which is what keeps the Q18
+    shape viable when lineitem is the 100 TB table."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# ===========================================================================
+# NOT IN -> null-aware anti-join (identical SQL)
+# ===========================================================================
+
+_NOT_IN_SQL = """
+SELECT COUNT(*) AS n_quiet_customers,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@_register(
+    "not_in_null_aware_antijoin",
+    _NOT_IN_SQL,
+    tags=("sql", "join"),
+    gate_priority=True,
+)
+def q_not_in_null_aware_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over an uncorrelated subquery - the null-aware
+    anti-join, the one join variant with genuinely different
+    semantics from LEFT ANTI: one NULL in the subquery empties the
+    result, and a NULL probe never qualifies, so the engine must
+    track subquery nullness, not just key absence (Spark compiles
+    this to a null-aware anti join; a plain anti-join rewrite would
+    be WRONG in general and only coincides here because o_custkey
+    has no NULLs). Identical SQL text both engines; the aggregate
+    output keeps the result single-row and deterministic."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

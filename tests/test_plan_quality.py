@@ -506,3 +506,29 @@ def test_scd2_point_in_time_join_is_equi_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_q18_membership_is_semi_join(spark):
+    """The IN-over-GROUP-BY/HAVING subquery must decorrelate to a
+    left-semi join against the pre-aggregated lineitem - per-row
+    subquery execution or a cartesian here would be quadratic in the
+    fact table."""
+    plan = _plan(spark, "sql_surface_q18")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_not_in_compiles_to_null_aware_anti_join(spark):
+    """NOT IN must keep its null-aware semantics in the plan: Spark
+    marks the hash anti-join's isNullAware flag (the trailing 'true'
+    in the BroadcastHashJoin argument list). A plain LeftAnti without
+    the flag would silently change semantics the day the subquery
+    column admits NULLs."""
+    df = CATALOG["not_in_null_aware_antijoin"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"Join \[c_custkey.*LeftAnti, BuildRight, (\w+)", plan)
+    assert m, f"anti join not found in plan:\n{plan}"
+    assert m.group(1) == "true"  # isNullAware
