@@ -177,11 +177,12 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the current rank vector (both partitioned by src) plus one
     hash-agg by dst. The rank vector is nodes-sized (small relative to
     edges) but scale-growing, so it is NOT pinned-broadcast - AQE
-    picks the strategy per round. The edge list and out-degrees are
-    loop-invariant and localCheckpoint()ed once so the 3 rounds reuse
-    one materialization instead of re-running the orders x lineitem
-    join per iteration (the same lineage-cut pattern as
-    operators/dedup.py connected_components)."""
+    picks the strategy per round. The loop-invariant edge list is
+    localCheckpoint()ed once, so every round (and the node set and
+    out-degrees the operator derives from it) replays from that one
+    materialization instead of re-running the orders x lineitem join
+    per iteration (the same lineage-cut pattern as operators/dedup.py
+    connected_components)."""
     from formula1_etl_analytics_project_spark.operators.graph import (
         pagerank_fixed_point,
     )
