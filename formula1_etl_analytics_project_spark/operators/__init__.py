@@ -1,9 +1,25 @@
 from formula1_etl_analytics_project_spark.operators import (
+    aggregates,
     dedup,
+    graph,
     grouped,
     joins,
+    layout,
+    linkage,
     multimodal,
+    sequence,
     similarity,
 )
 
-__all__ = ["dedup", "grouped", "joins", "similarity", "multimodal"]
+__all__ = [
+    "aggregates",
+    "dedup",
+    "graph",
+    "grouped",
+    "joins",
+    "layout",
+    "linkage",
+    "multimodal",
+    "sequence",
+    "similarity",
+]
