@@ -131,3 +131,36 @@ def exact_heavy_hitters(
         .filter(F.col(out) * (k + 1) > F.col("_total"))
         .drop("_total")
     )
+
+
+def table_fingerprint(df, cols: list[str], table_name: str):
+    """Order-insensitive table checksum for replication / migration
+    validation (the "did the copy arrive intact" primitive every
+    100 TB backfill needs: compare one 3-column row per table instead
+    of 100 TB of rows).
+
+    Each row is canonicalized to ``concat_ws('|', cols)`` with an
+    explicit ``'\\N'`` null sentinel applied BEFORE concat (concat_ws
+    silently skips nulls, which would make ``(NULL,'x')`` collide
+    with ``('x',)``), hashed with md5 (engine-portable, unlike
+    murmur3 ``hash()``), and the low 60 bits are folded two
+    independent ways - a DECIMAL(38,0) sum and a BIT_XOR - plus an
+    exact row count. Both folds are commutative+associative, so the
+    fingerprint is identical at any parallelism and any row order,
+    and the pair (sum, xor) makes accidental cancellation
+    astronomically unlikely. Callers must pre-render non-string
+    columns deterministically (dates via date_format, doubles via a
+    decimal cast) - the catalog entry ``table_checksum``
+    (plans/catalog_r7.py) shows the canonical recipe and its DuckDB
+    oracle restates it bit-for-bit.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("h")).agg(
+        F.lit(table_name).alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("hash_sum"),
+        F.expr("bit_xor(h)").alias("hash_xor"),
+    )

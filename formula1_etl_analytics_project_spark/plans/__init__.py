@@ -6,6 +6,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_r4,
     catalog_r5,
     catalog_r6,
+    catalog_r7,
     star,
 )
 
@@ -18,4 +19,5 @@ __all__ = [
     "catalog_r4",
     "catalog_r5",
     "catalog_r6",
+    "catalog_r7",
 ]

@@ -54,3 +54,36 @@ def test_salted_distinct_count_partial_groups_by_value_bucket(spark):
     # phase 1 groups by (key, pmod(crc32(value))), phase 2 by key alone
     assert "pmod(crc32" in plan
     assert plan.count("Aggregate [l_returnflag") == 2
+
+
+def _fp_row(spark, rows, n_parts):
+    from formula1_etl_analytics_project_spark.operators.aggregates import (
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame(rows, "a string, b string").repartition(n_parts)
+    return table_fingerprint(df, ["a", "b"], "t").collect()[0]
+
+
+def test_table_fingerprint_is_order_and_partition_insensitive(spark):
+    rows = [(str(i), f"v{i % 7}") for i in range(200)]
+    base = _fp_row(spark, rows, 1)
+    shuffled = _fp_row(spark, list(reversed(rows)), 13)
+    assert base == shuffled
+    assert base["n_rows"] == 200
+
+
+def test_table_fingerprint_detects_single_cell_change(spark):
+    rows = [(str(i), "x") for i in range(50)]
+    base = _fp_row(spark, rows, 4)
+    mutated = _fp_row(spark, rows[:-1] + [("49", "y")], 4)
+    assert (base["hash_sum"], base["hash_xor"]) != (
+        mutated["hash_sum"],
+        mutated["hash_xor"],
+    )
+
+
+def test_table_fingerprint_null_is_not_empty_string(spark):
+    with_null = _fp_row(spark, [("k", None)], 1)
+    with_empty = _fp_row(spark, [("k", "")], 1)
+    assert with_null["hash_xor"] != with_empty["hash_xor"]

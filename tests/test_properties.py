@@ -263,3 +263,36 @@ def test_partial_aggregate_merge_equals_full_recompute(spark, rows, k):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+undirected_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # small id space -> triangles
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=30,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@given(edge_list=undirected_edges_strategy)
+@SETTINGS
+def test_triangle_counts_match_brute_force(spark, edge_list):
+    """Degree-oriented wedge closing must count exactly the triangles
+    the brute-force intersection oracle finds, per node, on any
+    graph — duplicate orientations and degree ties included (the
+    orientation's (deg, id) tiebreak is the part a subtle bug would
+    break)."""
+    from formula1_etl_analytics_project_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_local,
+    )
+
+    distinct = sorted({(min(a, b), max(a, b)) for a, b in edge_list})
+    if not distinct:
+        return
+    edges = spark.createDataFrame(distinct, ["u", "v"])
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert got == triangle_counts_local(edge_list)
