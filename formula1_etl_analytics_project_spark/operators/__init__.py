@@ -9,6 +9,7 @@ from formula1_etl_analytics_project_spark.operators import (
     multimodal,
     sequence,
     similarity,
+    skyline,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "multimodal",
     "sequence",
     "similarity",
+    "skyline",
 ]

@@ -87,3 +87,34 @@ def test_table_fingerprint_null_is_not_empty_string(spark):
     with_null = _fp_row(spark, [("k", None)], 1)
     with_empty = _fp_row(spark, [("k", "")], 1)
     assert with_null["hash_xor"] != with_empty["hash_xor"]
+
+
+def test_hll_union_is_partition_invariant(spark):
+    """The property sketch_rollup_gate (plans/catalog_r7.py) relies
+    on: slicing the input two unrelated ways, sketching each slice,
+    and unioning gives IDENTICAL estimates once both paths are
+    guaranteed dense (NDV 50k >> k=4096 forces HLL mode on every
+    path; registers merge by max, so both unions hold the same
+    registers and the composite estimator agrees bit-for-bit). Near
+    the sparse/dense boundary the LIST→SET→HLL promotion depends on
+    merge history and the paths can disagree WITHIN the error bound
+    — that regime is why the catalog gate is tolerance-based; and
+    union-vs-DIRECT equality fails even when dense (HIP vs composite
+    estimator), which is why neither gate compares against a
+    directly-streamed sketch."""
+
+    def union_nd(df, slicer):
+        return (
+            df.groupBy(slicer.alias("g"))
+            .agg(F.hll_sketch_agg("v").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd"))
+            .collect()[0]["nd"]
+        )
+
+    df = spark.range(0, 200000).select(
+        F.col("id"), (F.col("id") % 50000).alias("v")
+    )
+    by_mod = union_nd(df, F.col("id") % 13)
+    by_range = union_nd(df, (F.col("id") / 7000).cast("int"))
+    assert by_mod == by_range
+    assert abs(by_mod - 50000) <= 0.1 * 50000

@@ -532,3 +532,50 @@ def test_not_in_compiles_to_null_aware_anti_join(spark):
     m = re.search(r"Join \[c_custkey.*LeftAnti, BuildRight, (\w+)", plan)
     assert m, f"anti join not found in plan:\n{plan}"
     assert m.group(1) == "true"  # isNullAware
+
+
+def test_triangle_wedge_joins_are_hash_joins(spark):
+    """Every join in the triangle pipeline (wedge self-join on the
+    apex, closing-edge join on (v, w)) must be an equi hash/merge
+    join - a nested-loop or cartesian here would be quadratic in the
+    EDGE list, not the wedge set, and the orientation's O(sqrt(m))
+    bound would be moot."""
+    plan = _plan(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_cosine_topk_lowers_to_take_ordered(spark):
+    """The top-20 similar pairs must run as TakeOrderedAndProject
+    (per-partition partial top-k) with both normalizing item-total
+    joins broadcast - a global sort or a shuffled join against the
+    item totals would dominate at catalog scale."""
+    plan = _plan(spark, "item_cosine_sim")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_skyline_prunes_before_global_window(spark):
+    """The bucket-bound prune must sit UNDER the exact dominance
+    window: the plan needs the broadcast join against the bucket
+    bounds (the prune) and the single-partition window must consume
+    the join's output, not the raw point set."""
+    plan = _plan(spark, "skyline_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    # formatted explain prints the operator tree root-first, so the
+    # window (downstream) appears before the broadcast prune join
+    # (its input) — the window consumes the pruned survivors.
+    assert plan.find("Window") < plan.find("BroadcastHashJoin")
+
+
+def test_table_diff_shuffles_hashes_not_rows(spark):
+    """The reconciliation full-outer join must move only (key, md5)
+    projections: no orders payload column may survive below the
+    join."""
+    plan = _plan(spark, "table_diff")
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    for rs in read_schemas:
+        # only the key + the three hashed attributes are ever read
+        assert "o_custkey" not in rs and "o_orderdate" not in rs

@@ -296,3 +296,33 @@ def test_triangle_counts_match_brute_force(spark, edge_list):
         r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
     }
     assert got == triangle_counts_local(edge_list)
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # x: minimize
+        st.integers(min_value=-5, max_value=25),  # y: maximize (int -> exact)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(points=points_strategy)
+@SETTINGS
+def test_pareto_frontier_matches_brute_force(spark, points):
+    """The bucket-pruned skyline must return exactly the brute-force
+    dominance oracle's frontier on any point set — coordinate ties,
+    duplicate points, and bucket-boundary cases included (the prune's
+    losslessness is the property under test)."""
+    from formula1_etl_analytics_project_spark.operators.skyline import (
+        pareto_frontier_2d,
+        pareto_frontier_2d_local,
+    )
+
+    distinct = sorted(set(points))
+    df = spark.createDataFrame(distinct, "x int, y int")
+    got = {
+        (r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()
+    }
+    assert got == pareto_frontier_2d_local(distinct)
