@@ -718,3 +718,193 @@ def q_item_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "u", "v")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Equi-width histogram (two-pass bounds + broadcast)
+# ===========================================================================
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(least(9, floor((value - lo) * 10 / (hi - lo))) AS BIGINT)
+         AS bin,
+       COUNT(*) AS n
+FROM events, b
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_register("value_histogram", _HISTOGRAM_SQL, tags=("analytics", "stats"))
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 10-bin equi-width histogram of ``value`` over
+    GLOBAL bounds (so bins are comparable across groups). The
+    distributed histogram shape: pass 1 is a 2-value min/max
+    aggregate, broadcast back as a 1-row bound table; pass 2 bins
+    map-side and counts with an ordinary combinable hash-agg — the
+    fact is scanned twice but shuffled once, and the shuffle carries
+    (type, bin) pairs, never values. The bin expression evaluates in
+    the identical IEEE-double operation order on both engines, so
+    boundary assignment is bit-reproducible.
+    """
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo"))
+                ),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# End-to-end embedding corpus curation (LSH dedup -> quantize -> split)
+# ===========================================================================
+
+from formula1_etl_analytics_project_spark.plans.catalog import (  # noqa: E402
+    _SQL_DOT,
+    _sql_cosine,
+)
+
+_EMB_CURATION_SQL = f"""
+WITH hp AS (
+  SELECT vec_id AS hp_id, embedding AS hp_vec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), bk AS (
+  SELECT e.vec_id,
+         string_agg(
+           CASE WHEN {_SQL_DOT.format(a='e.embedding', b='hp.hp_vec')} >= 0
+                THEN '1' ELSE '0' END, ''
+           ORDER BY hp.hp_id) AS bucket
+  FROM embeddings e CROSS JOIN hp
+  GROUP BY e.vec_id
+), b AS (
+  SELECT e.vec_id, e.embedding, bk.bucket
+  FROM embeddings e JOIN bk USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE ROUND({_sql_cosine('l.embedding', 'r.embedding')}, 6) >= 0.4
+), scaled AS (
+  SELECT b.vec_id, b.embedding,
+         list_max(list_transform(b.embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM b
+), labeled AS (
+  SELECT s.vec_id,
+         s.vec_id IN (SELECT vec_id FROM dropped) AS is_dup,
+         CASE WHEN strpos('0123456789abcdef',
+                substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 1)) - 1 < 13
+              THEN 'train'
+              WHEN strpos('0123456789abcdef',
+                substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 1)) - 1 < 14
+              THEN 'val' ELSE 'test' END AS split,
+         list_reduce(list_transform(generate_series(1, len(s.embedding)),
+           i -> CAST(round(CAST(s.embedding[i] AS DOUBLE) * 127.0 / s.scale)
+                AS BIGINT)),
+           (x, y) -> x + y) AS q_sum
+  FROM scaled s
+)
+SELECT split,
+       SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
+       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dropped,
+       SUM(CASE WHEN is_dup THEN 0 ELSE q_sum END) AS q_sum_total
+FROM labeled
+GROUP BY split
+"""
+
+
+@_register(
+    "embedding_curation_pipeline", _EMB_CURATION_SQL, tags=("vector", "etl")
+)
+def q_embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding-corpus curation, the vector twin of
+    ``corpus_clean_pipeline``: LSH-bucketed near-dup drop (a vector
+    is dropped when a lower-id vector in its bucket has cosine >=
+    0.4 — deterministic keep-lowest policy), int8 quantization of
+    the survivors (pinned via the exact q_sum per split), and the
+    md5-nibble train/val/test assignment — three stages CHAINED so
+    stage-interaction bugs (dedup changing split balance, quantizing
+    dropped rows) can't hide behind per-stage checks.
+
+    Scale shape: the only self-join is within LSH buckets (the 2^4
+    buckets bound candidates exactly as in ``embedding_neardup``'s
+    cells), the drop set joins back as a broadcast-size anti-join,
+    quantization is a narrow per-row array op, and the split label
+    is a pure hash function — no stage adds driver state or an
+    unbounded shuffle.
+    """
+    from formula1_etl_analytics_project_spark.functions.vectors import cosine
+    from formula1_etl_analytics_project_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    hp = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("hp_id"), F.col("embedding").alias("hp_vec"))
+    )
+    b = lsh_bucket(emb, hp).select("vec_id", "embedding", "bucket")
+    left = b.select(
+        F.col("vec_id").alias("lid"),
+        F.col("embedding").alias("lvec"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("rvec"),
+        "bucket",
+    )
+    dropped = (
+        left.join(right, "bucket")
+        .where(F.col("lid") < F.col("rid"))
+        .where(F.round(cosine("lvec", "rvec"), 6) >= 0.4)
+        .select(F.col("rid").alias("vec_id"))
+        .distinct()
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
+    dv = F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    qv = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 127.0 / F.array_max(dv)).cast(
+            "long"
+        ),
+    )
+    labeled = b.join(
+        dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        split.alias("split"),
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("n_kept"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("q_sum"))).alias(
+            "q_sum_total"
+        ),
+    )
