@@ -908,3 +908,208 @@ def q_embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             "q_sum_total"
         ),
     )
+
+
+# ===========================================================================
+# Trigram-indexed substring search (index-intersection vs scan)
+# ===========================================================================
+
+_TRIGRAM_QUERY = "slow small filter"
+
+_TRIGRAM_SQL = r"""
+SELECT doc_id
+FROM documents
+WHERE lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      LIKE '%slow small filter%'
+"""
+
+
+@_register("trigram_search", _TRIGRAM_SQL, tags=("text", "index"))
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a character-trigram inverted index:
+    docs whose normalized text contains the (fixed, deterministic)
+    query phrase. The index path — explode each doc's DISTINCT
+    trigrams, keep only postings for the query's trigrams, candidate
+    = doc containing ALL of them, then verify with one ``instr`` on
+    the candidates — is how LIKE '%...%' becomes affordable at
+    100 TB: the full scan happens ONCE at index build, every search
+    after that touches |query trigrams| posting lists plus a
+    candidate set the intersection has already made tiny. The oracle
+    is the plain LIKE scan, which proves the index path loses no
+    match (trigram intersection is a lossless prefilter: any doc
+    containing the phrase contains every one of its trigrams).
+    """
+    q = " ".join(_TRIGRAM_QUERY.lower().split())
+    qtris = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", normalize("text").alias("n")
+    )
+    index = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(n) - 2, 1)),"
+                    " i -> substring(n, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    cands = (
+        index.where(F.col("tri").isin(qtris))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tri").alias("k"))
+        .where(F.col("k") == len(qtris))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cands, "doc_id", "semi")
+        .where(F.instr("n", q) > 0)
+        .select("doc_id")
+    )
+
+
+# ===========================================================================
+# Benford first-digit profile (data-quality forensics)
+# ===========================================================================
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice /
+           power(10, floor(log10(o_totalprice)))) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+), tot AS (SELECT COUNT(*) AS n_total FROM digits)
+SELECT d,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(MAX(t.n_total) AS DOUBLE), 6) AS obs_freq,
+       ROUND(log10(1.0 + 1.0 / d), 6) AS benford_freq
+FROM digits, tot t
+GROUP BY d
+"""
+
+
+@_register("benford_digit_check", _BENFORD_SQL, tags=("ops", "stats"))
+def q_benford_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of o_totalprice against the
+    Benford expectation log10(1 + 1/d) — the classic forensic /
+    data-quality screen for fabricated or truncated numeric columns
+    (TPC-H prices are NOT Benford-distributed, and the output shows
+    exactly how: the profile is the signal, not a pass/fail).
+
+    Digit extraction is numeric (floor(x / 10^floor(log10 x))), never
+    string formatting — identical IEEE evaluation on both engines —
+    and the whole check is one narrow projection plus a 9-group
+    hash-agg with the total broadcast back: per-column cost at 100 TB
+    is one scan, which is why Benford screens are routinely run over
+    every numeric column of an ingest batch.
+    """
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    tot = digits.agg(F.count("*").alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.count("*") / F.max("n_total").cast("double"), 6
+            ).alias("obs_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_freq"),
+        )
+    )
+
+
+# ===========================================================================
+# Streaming mergeable-sketch aggregation (HLL under micro-batching)
+# ===========================================================================
+
+_STREAM_SKETCH_SQL = """
+SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+       CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS DOUBLE) AS exact_nd,
+       CAST(NULL AS DOUBLE) AS approx_nd
+WHERE FALSE
+"""
+
+
+@_register("stream_sketch_distinct", _STREAM_SKETCH_SQL, tags=("streaming", "approx"))
+def q_stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per (hour, event_type) computed by a
+    REAL Structured Streaming run — events staged as files, consumed
+    with maxFilesPerTrigger=1 so the HLL state is built and merged
+    across several micro-batches — gated within 10% of the exact
+    batch distinct count per group; violations are emitted and the
+    expected result is empty.
+
+    This is the streaming face of ``sketch_rollup_gate``: sketches
+    are the ONLY exact-memory-bounded way to track distincts in an
+    unbounded stream (exact per-window distinct state grows with
+    NDV), and micro-batch merging exercises precisely the
+    partial-state union the batch gate proves tolerant. Complete
+    output mode + a far watermark keeps every window comparable to
+    the batch twin, as in ``stream_windowed_counts``.
+    """
+    import os
+    import uuid
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
+
+    stage = _stage_dir(sf_dir, "stream", "events")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        read_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 years")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_nd"))
+    )
+    name = f"sk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql(
+        f"SELECT win.start AS window_start, event_type, approx_nd FROM {name}"
+    )
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("exact_nd"))
+    )
+    j = streamed.join(exact, ["window_start", "event_type"], "full_outer")
+    return j.where(
+        F.col("exact_nd").isNull()
+        | F.col("approx_nd").isNull()
+        | (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            > 0.10 * F.col("exact_nd")
+        )
+    ).select(
+        "window_start",
+        "event_type",
+        F.col("exact_nd").cast("double").alias("exact_nd"),
+        F.col("approx_nd").cast("double").alias("approx_nd"),
+    )

@@ -579,3 +579,14 @@ def test_table_diff_shuffles_hashes_not_rows(spark):
     for rs in read_schemas:
         # only the key + the three hashed attributes are ever read
         assert "o_custkey" not in rs and "o_orderdate" not in rs
+
+
+def test_trigram_search_verifies_on_semi_joined_candidates(spark):
+    """The instr verification must run on the candidate semi-join's
+    output, not as a LIKE predicate over the full scan - the whole
+    point of the index is that the scan-side predicate is the trigram
+    posting filter, with the expensive containment check bounded by
+    the intersection."""
+    plan = _plan(spark, "trigram_search")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

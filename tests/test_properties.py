@@ -326,3 +326,49 @@ def test_pareto_frontier_matches_brute_force(spark, points):
         (r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()
     }
     assert got == pareto_frontier_2d_local(distinct)
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy, query=st.text(alphabet="abc ", min_size=3, max_size=6))
+@SETTINGS
+def test_trigram_candidates_superset_of_matches(spark, texts, query):
+    """The trigram index prefilter (catalog entry trigram_search) must
+    be LOSSLESS: every doc whose normalized text contains the
+    normalized query must survive the all-query-trigrams candidate
+    intersection. (The reverse containment is what the instr verify
+    is for - candidates may overshoot, never undershoot.)"""
+    from pyspark.sql import functions as F
+
+    q = " ".join(query.lower().split())
+    if len(q) < 3:
+        return
+    qtris = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    rows = [(i, " ".join(t.lower().split())) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, n string")
+    index = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(n) - 2, 1)),"
+                    " i -> substring(n, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    cands = {
+        r["doc_id"]
+        for r in index.where(F.col("tri").isin(qtris))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tri").alias("k"))
+        .where(F.col("k") == len(qtris))
+        .collect()
+    }
+    true_matches = {i for i, n in rows if q in n}
+    assert true_matches <= cands
