@@ -1,12 +1,25 @@
 """Round-7 catalog entries: the remaining large-scale-pipeline
-primitives — degree-oriented distributed triangle counting (graph
-analytics beyond the iterative PageRank surface), the hashing-trick
-featurizer (vocabulary-free text vectorization), a mergeable-sketch
-rollup gate (HLL re-aggregation, the store-sketches-not-raw pattern),
-sliding-window distinct counts via contribution explode (the
-decomposable form of a non-decomposable aggregate), and an
-order-insensitive table fingerprint (replication / backfill
-validation).
+primitives, grouped by family —
+
+* graph / similarity: degree-oriented distributed triangle counting
+  (O(sqrt(m)) wedge fan-out), item-item co-occurrence cosine (the
+  collaborative-filtering primitive);
+* ML data prep: the vocabulary-free hashing-trick featurizer, the
+  end-to-end embedding-curation pipeline (LSH near-dup drop ->
+  int8 quantize -> hash split, chained);
+* sketches: the HLL rollup gate (tolerance-bounded re-aggregation —
+  see its docstring for the HIP/composite and merge-history findings
+  the sf0.1 sweep surfaced) and its streaming micro-batch twin;
+* windows / sequences: sliding-window distinct counts via
+  contribution explode, weekly cohort retention (single scan, no
+  join), the first-order Markov event-transition matrix, and
+  inter-event gap percentiles;
+* ops / data quality: the order-insensitive table fingerprint and
+  its drill-down table-diff companion, MAD robust outliers, the
+  Benford first-digit profile, equi-width histograms over broadcast
+  bounds, per-source exact-dup-rate reporting, and RFM segmentation;
+* search / frontier: trigram-indexed substring search (lossless
+  index-intersection prefilter) and the bucket-pruned 2D skyline.
 
 Every entry follows the portability rules from plans/catalog.py:
 md5 for hashes (identical across engines, unlike murmur3 ``hash()``),
@@ -288,8 +301,12 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the already-collapsed pair set, which is bounded by
     users x days, not by event volume — at 100 TB of events the pair
     set is orders of magnitude smaller than the raw scan. Window days
-    are clipped to days observed in the data (semi-join), so leading
-    edges past the last event date are not emitted.
+    are clipped to days observed in the data (semi-join against the
+    day list — bounded by the CALENDAR, so that side broadcasts at
+    any scale, unlike a per-user side). The day list derives from a
+    second pass over the collapsed pair set; a deployment would
+    persist the pair set (or maintain the day dimension as its own
+    tiny table) so the fact is still scanned once.
     """
     ev = read_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -609,29 +626,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (week_offset 0 = the cohort's own size). The product-analytics
     staple Spark has no operator for.
 
-    Scale shape: the raw event stream collapses to distinct
-    (user, week) FIRST — map-side combinable, bounded by
-    users x weeks, the same collapse as ``sliding_distinct_users`` —
-    then the per-user MIN is an ordinary hash-agg and the join back
-    is on user_id (both sides already shuffled on it; AQE reuses the
-    exchange). Nothing touches raw event volume after the first
-    aggregation, so 100 TB of events costs one scan + one
-    users x weeks-sized pipeline.
+    Scale shape — ONE scan, NO join: the raw stream collapses
+    straight to one row per user holding its distinct active-week
+    set (``collect_set`` after a map-side partial, state bounded by
+    the calendar, not event volume), the cohort week falls out as
+    ``array_min`` of that set, and exploding the set yields exactly
+    one row per (user, active week) — so the final (cohort, offset)
+    count needs no DISTINCT. The naive formulation (distinct pairs,
+    separate per-user MIN, join back) was measured to scan events
+    TWICE and join on a side that only broadcasts at test scale;
+    this form is what survives when neither side is small.
     """
     ev = read_table(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
-    ).distinct()
-    first_w = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    per_user = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("w").alias("ws"))
+    )
     return (
-        uw.join(first_w, "user_id")
+        per_user.select(
+            F.array_min("ws").alias("cohort_week"),
+            F.explode("ws").alias("w"),
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("w", "cohort_week") / 7)
             .cast("bigint")
             .alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n_users"))
     )
 
 
@@ -1112,4 +1137,239 @@ def q_stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("exact_nd").cast("double").alias("exact_nd"),
         F.col("approx_nd").cast("double").alias("approx_nd"),
+    )
+
+
+# ===========================================================================
+# Sequential patterns: next-event transition matrix + inter-event gaps
+# ===========================================================================
+
+_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type
+  FROM ordered WHERE next_type IS NOT NULL
+), tot AS (
+  SELECT from_type, COUNT(*) AS n_from FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(MAX(t.n_from) AS DOUBLE), 6) AS prob
+FROM pairs p JOIN tot t USING (from_type)
+GROUP BY p.from_type, p.to_type
+"""
+
+
+@_register("event_transitions", _TRANSITIONS_SQL, tags=("analytics", "sequence"))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), with counts. The
+    sequence-mining primitive behind session modeling and
+    next-action prediction features.
+
+    One window (lag/lead) partitioned on user_id — a single shuffle
+    with per-user state only, totally ordered by (ts, event_id) so
+    simultaneous events break ties deterministically — then a
+    (from, to) hash-agg and a broadcast-size row-total join. Event
+    volume passes through exactly one exchange; the matrix itself is
+    |types|^2 rows whatever the data size.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    tot = pairs.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.count("*") / F.max("n_from").cast("double"), 6
+            ).alias("prob"),
+        )
+    )
+
+
+_GAPS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         date_diff('microsecond', ts, next_ts) / 1000000.0 AS gap_s
+  FROM ordered WHERE next_ts IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+       ROUND(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s
+FROM gaps GROUP BY event_type
+"""
+
+
+@_register("inter_event_gaps", _GAPS_SQL, tags=("analytics", "sequence"))
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-event percentiles per event type (median and p95
+    seconds until the same USER's next action) — the dwell-time
+    signal behind session-timeout tuning (``sessionize``'s gap
+    parameter is exactly a quantile of this distribution) and
+    engagement scoring.
+
+    Same single user_id window as ``event_transitions`` (the two
+    entries share their shuffle shape; a combined pipeline would
+    compute both off one exchange), gaps in exact microseconds
+    rescaled to seconds, then a per-type exact percentile — holistic,
+    but grouped by the bounded event-type key, so per-group sort
+    state never concentrates.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .where(F.col("next_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                (F.unix_micros("next_ts") - F.unix_micros("ts")) / 1000000.0
+            ).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 6).alias("p95_gap_s"),
+    )
+
+
+# ===========================================================================
+# RFM segmentation (recency / frequency / monetary)
+# ===========================================================================
+
+_RFM_SQL = """
+WITH mx AS (
+  SELECT MAX(o_orderdate) AS max_d FROM orders
+), per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(o_orderdate), MAX(mx.max_d)) AS recency_d,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS monetary
+  FROM orders, mx
+  GROUP BY o_custkey
+), seg AS (
+  SELECT CASE WHEN recency_d <= 365 THEN 'active' ELSE 'lapsed' END
+           || '/' ||
+         CASE WHEN frequency >= 15 THEN 'frequent' ELSE 'occasional' END
+           || '/' ||
+         CASE WHEN monetary >= 1500000 THEN 'high' ELSE 'low' END AS segment,
+         monetary
+  FROM per_cust
+)
+SELECT segment, COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+FROM seg GROUP BY segment
+"""
+
+
+@_register("rfm_segments", _RFM_SQL, tags=("analytics",))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    anchored to the dataset's max date so the entry is deterministic),
+    frequency (order count), monetary (exact decimal spend), bucketed
+    by fixed thresholds into 8 named segments.
+
+    One hash-agg per customer, a 1-row max-date aggregate broadcast
+    in, and a tiny segment rollup — the whole segmentation is two
+    shuffles at any scale, and the per-customer aggregate is the same
+    collapse every downstream marketing/ML feature would reuse.
+    Thresholds are fixed (not quantiles) so segment membership is a
+    pure row function; the quantile-based variant is
+    ``ntile_spend_quartiles``.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate")).alias("recency_d"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("monetary"),
+        )
+    )
+    segment = F.concat_ws(
+        "/",
+        F.when(F.col("recency_d") <= 365, "active").otherwise("lapsed"),
+        F.when(F.col("frequency") >= 15, "frequent").otherwise("occasional"),
+        F.when(F.col("monetary") >= 1500000, "high").otherwise("low"),
+    )
+    return (
+        per_cust.select(segment.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )
+
+
+# ===========================================================================
+# Dedup-rate report by source (corpus health dashboard)
+# ===========================================================================
+
+_DUP_RATE_SQL = r"""
+WITH fp AS (
+  SELECT source,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT f) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM fp GROUP BY source
+"""
+
+
+@_register("dup_rate_by_source", _DUP_RATE_SQL, tags=("text", "dedup", "ops"))
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the corpus-health metric a
+    curation pipeline reports after every ingest (a source whose
+    dup_rate jumps is re-crawling itself). Fingerprints are the
+    normalized-text md5 (``functions.text.fingerprint``); the
+    per-source COUNT(DISTINCT) is the two-level Catalyst expansion
+    over (source, fingerprint) — fine here because source cardinality
+    is small and fingerprints spread; the skew-proof form for a hot
+    key is ``skew_distinct_count``.
+    """
+    from formula1_etl_analytics_project_spark.functions.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    fp = docs.select("source", fingerprint("text").alias("f"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("f").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
     )

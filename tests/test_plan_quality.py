@@ -590,3 +590,15 @@ def test_trigram_search_verifies_on_semi_joined_candidates(spark):
     plan = _plan(spark, "trigram_search")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_is_single_scan_no_join(spark):
+    """Cohort retention must derive the cohort week INSIDE the
+    per-user aggregate (array_min of the collected week set), not via
+    a separate min-aggregate joined back - the measured naive form
+    scanned events twice and joined on a per-user side that only
+    broadcasts at test scale."""
+    plan = _plan(spark, "cohort_retention")
+    # formatted explain lists each scan twice (tree + detail block)
+    assert plan.count("ReadSchema") == 1
+    assert "Join" not in plan
