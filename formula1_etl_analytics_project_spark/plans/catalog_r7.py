@@ -1373,3 +1373,325 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+# ===========================================================================
+# CUSUM changepoint detection (time-series monitoring)
+# ===========================================================================
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(AVG(v) AS DECIMAL(30,6)) AS mean_v
+  FROM daily GROUP BY event_type
+), cusum AS (
+  SELECT d.event_type, d.d,
+         SUM(d.v - m.mean_v) OVER (
+           PARTITION BY d.event_type ORDER BY d.d) AS c
+  FROM daily d JOIN m USING (event_type)
+)
+SELECT event_type, d AS changepoint_day,
+       CAST(ROUND(c, 6) AS DOUBLE) AS cusum_peak
+FROM (
+  SELECT event_type, d, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY abs(c) DESC, d) AS rn
+  FROM cusum)
+WHERE rn = 1
+"""
+
+
+@_register("cusum_changepoint", _CUSUM_SQL, tags=("analytics", "timeseries"))
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event type: the day where the
+    cumulative sum of (daily total - series mean) peaks in absolute
+    value — the standard single-changepoint estimator for a level
+    shift, and the monitoring primitive behind 'when did this metric
+    start drifting'.
+
+    All arithmetic is DECIMAL end-to-end (daily sums, the mean, the
+    running CUSUM), so the cumulative window — normally the first
+    place float non-associativity bites — is bit-identical at any
+    partitioning and across engines. Shapes: one (type, day) hash-agg
+    collapses the stream (days x types rows thereafter), a broadcast
+    mean join, a per-type ordered window, and an argmax via
+    row_number with the day as tiebreak.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("decimal(30,6)")
+        .alias("v")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.avg("v").cast("decimal(30,6)").alias("mean_v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cusum = (
+        daily.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.sum(F.col("v") - F.col("mean_v")).over(w).alias("c"),
+        )
+    )
+    rn = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), "d"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.round("c", 6).cast("double").alias("cusum_peak"),
+        )
+    )
+
+
+# ===========================================================================
+# k-anonymity check (privacy gate over quasi-identifiers)
+# ===========================================================================
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+), grps AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS n
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_band, c_mktsegment, n
+FROM grps WHERE n < 5
+"""
+
+
+@_register("k_anonymity_check", _KANON_SQL, tags=("ops", "privacy"))
+def q_k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    account-balance band, market segment): every equivalence class
+    with fewer than k=5 members is a re-identification risk and is
+    emitted for suppression or coarsening. The release-gate
+    companion to ``pii_redact_docs`` (that entry removes direct
+    identifiers; this one quantifies indirect ones).
+
+    One hash-agg over the quasi-identifier tuple and a HAVING filter
+    — the audit costs the same as any GROUP BY at 100 TB, which is
+    the point: there is no excuse not to run it before every data
+    release. Banding (floor/1000) is integer, so class membership is
+    engine-exact.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return (
+        qi.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") < 5)
+    )
+
+
+# ===========================================================================
+# Join-key skew report (the "should I salt?" diagnostic)
+# ===========================================================================
+
+_SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys,
+         SUM(n) AS n_rows,
+         MAX(n) AS max_key_rows,
+         CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_rows
+  FROM per_key
+)
+SELECT 'lineitem.l_orderkey' AS key_name,
+       n_keys, n_rows, max_key_rows,
+       ROUND(p99, 6) AS p99_key_rows,
+       ROUND(max_key_rows / mean_rows, 6) AS max_over_mean,
+       ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 9) AS top_key_share
+FROM stats
+"""
+
+
+@_register("skew_report", _SKEW_REPORT_SQL, tags=("ops", "skew"))
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for lineitem.l_orderkey: keys, rows,
+    the hottest key's row count, the p99 per-key count, max/mean
+    ratio, and the top key's share of all rows — the numbers that
+    decide between doing nothing, trusting AQE's skew-join split, or
+    salting (``skew_salted_join``). The repo's skew REMEDIES are
+    plan-tested; this is the MEASUREMENT that tells an operator which
+    one a 100 TB join needs, produced by one per-key hash-agg
+    (map-side combinable) plus a single-row summary — cheap enough to
+    run on every candidate join key before writing the pipeline.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    return per_key.agg(
+        F.lit("lineitem.l_orderkey").alias("key_name"),
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_key_rows"),
+        F.round(
+            F.max("n") / (F.sum("n").cast("double") / F.count("*")), 6
+        ).alias("max_over_mean"),
+        F.round(
+            F.max("n").cast("double") / F.sum("n").cast("double"), 9
+        ).alias("top_key_share"),
+    )
+
+
+# ===========================================================================
+# Degree distribution + power-law exponent (graph characterization)
+# ===========================================================================
+
+_DEGREE_SQL = """
+WITH deg AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey
+), stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         MIN(k) AS k_min,
+         MAX(k) AS k_max,
+         SUM(CAST(ROUND(ln(CAST(k AS DOUBLE) /
+               (SELECT MIN(k) FROM deg)), 9) AS DECIMAL(20,9)))
+           AS sum_log_ratio
+  FROM deg
+)
+SELECT n_nodes, k_min, k_max,
+       ROUND(1.0 + n_nodes / CAST(sum_log_ratio AS DOUBLE), 6)
+         AS alpha_mle
+FROM stats
+"""
+
+
+@_register("degree_powerlaw", _DEGREE_SQL, tags=("analytics", "graph"))
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-degree distribution summary with the discrete
+    power-law exponent MLE (alpha = 1 + n / sum ln(k / k_min),
+    Clauset-Shalizi-Newman continuous approximation) — the
+    characterization that tells you whether a graph NEEDS the
+    skew-resistant operators (degree-oriented triangles, salted
+    joins): alpha < 2.5 means hubs dominate and uniform-partition
+    assumptions die.
+
+    The non-associative float hazard (summing millions of ln terms)
+    is neutralized by rounding each term to 9 decimals and summing
+    as DECIMAL — the same exact-accumulation trick as the engine's
+    double sums, here applied to a log-likelihood. One hash-agg for
+    degrees, a broadcast scalar k_min, one summary row.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("k"))
+    kmin = deg.agg(F.min("k").alias("k_min"))
+    return (
+        deg.crossJoin(F.broadcast(kmin))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(
+                F.round(
+                    F.log(F.col("k").cast("double") / F.col("k_min")), 9
+                ).cast("decimal(20,9)")
+            ).alias("slr"),
+            F.first("k_min").alias("_km"),
+        )
+        .select(
+            "n_nodes",
+            F.col("_km").alias("k_min"),
+            "k_max",
+            F.round(
+                1.0 + F.col("n_nodes") / F.col("slr").cast("double"), 6
+            ).alias("alpha_mle"),
+        )
+    )
+
+
+# ===========================================================================
+# Day-of-week seasonality profile
+# ===========================================================================
+
+_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), prof AS (
+  SELECT event_type, isodow(d) AS dow,
+         COUNT(*) AS n_days,
+         CAST(AVG(v) AS DECIMAL(30,6)) AS dow_mean
+  FROM daily GROUP BY 1, 2
+), overall AS (
+  SELECT event_type, CAST(AVG(v) AS DECIMAL(30,6)) AS overall_mean FROM daily GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.n_days,
+       CAST(p.dow_mean AS DOUBLE) AS dow_mean,
+       ROUND(CAST(p.dow_mean AS DOUBLE) / CAST(o.overall_mean AS DOUBLE), 6)
+         AS seasonal_index
+FROM prof p JOIN overall o USING (event_type)
+"""
+
+
+@_register("dow_seasonality", _SEASONALITY_SQL, tags=("analytics", "timeseries"))
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean daily
+    value by ISO weekday and its ratio to the series' overall daily
+    mean (the multiplicative seasonal index used to deseasonalize
+    metrics before alerting — Monday dips aren't incidents).
+
+    Stream collapses to (type, day) decimal sums once; both the
+    weekday profile and the overall mean derive from that days x
+    types-sized intermediate, so raw event volume is scanned once.
+    ISO weekday (Mon=1..Sun=7) is the cross-engine-stable weekday
+    numbering (Spark's ``dayofweek`` is Sun=1, a portability trap).
+    """
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("decimal(30,6)")
+        .alias("v")
+    )
+    prof = daily.groupBy(
+        "event_type", F.expr("extract(dayofweek_iso FROM d)").alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.avg("v").cast("decimal(30,6)").alias("dow_mean"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.avg("v").cast("decimal(30,6)").alias("overall_mean")
+    )
+    return (
+        prof.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.col("dow_mean").cast("double").alias("dow_mean"),
+            F.round(
+                F.col("dow_mean").cast("double")
+                / F.col("overall_mean").cast("double"),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )
