@@ -118,3 +118,33 @@ def test_hll_union_is_partition_invariant(spark):
     by_range = union_nd(df, (F.col("id") / 7000).cast("int"))
     assert by_mod == by_range
     assert abs(by_mod - 50000) <= 0.1 * 50000
+
+
+def test_event_transitions_tiebreak_is_deterministic(spark):
+    """Simultaneous events (identical user_id + ts) must order by
+    event_id in the transition window - the total (ts, event_id)
+    order is what makes the Markov matrix reproducible; without it
+    the lead() result is partition-luck."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 10, "a"),
+        (1, t, 11, "b"),  # same instant: event_id decides the order
+        (1, t, 12, "c"),
+        (1, datetime.datetime(2024, 1, 1, 13, 0, 0), 13, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    for n_parts in (1, 7):
+        got = sorted(
+            (r["event_type"], r["nxt"])
+            for r in df.repartition(n_parts)
+            .select("event_type", F.lead("event_type").over(w).alias("nxt"))
+            .collect()
+        )
+        assert got == [("a", "b"), ("b", "c"), ("c", "d"), ("d", None)]

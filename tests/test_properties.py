@@ -372,3 +372,49 @@ def test_trigram_candidates_superset_of_matches(spark, texts, query):
     }
     true_matches = {i for i, n in rows if q in n}
     assert true_matches <= cands
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=13),  # day number
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_sliding_distinct_matches_brute_force(spark, rows):
+    """The contribution-explode form of trailing-7-day distinct users
+    (catalog entry sliding_distinct_users) must equal the brute-force
+    per-day set union on any activity pattern - including gap days,
+    which the observed-days clip must drop, and users active on many
+    days of one window, which must count once."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    pairs = sorted({(u, base + datetime.timedelta(days=d)) for u, d in rows})
+    df = spark.createDataFrame(pairs, "user_id long, d date")
+    days = df.select("d").distinct()
+    contrib = df.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d"
+    ).select("user_id", F.date_add("d", F.col("i")).alias("win_day"))
+    got = {
+        (r["win_day"], r["n"])
+        for r in contrib.join(
+            days.withColumnRenamed("d", "win_day"), "win_day", "semi"
+        )
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    observed = {d for _, d in pairs}
+    want = {
+        (day, len({u for u, d in pairs if 0 <= (day - d).days <= 6}))
+        for day in observed
+    }
+    assert got == want
