@@ -1695,3 +1695,153 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+# ===========================================================================
+# A/B experiment analysis (two-proportion z-test)
+# ===========================================================================
+
+_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_conv
+  FROM users GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+         MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN n_conv END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+         ROUND(
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+           sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                (1.0 / n0 + 1.0 / n1)), 6)
+       ELSE CAST(NULL AS DOUBLE) END AS z_score
+FROM wide
+"""
+
+
+@_register("ab_test_ztest", _AB_TEST_SQL, tags=("analytics", "stats"))
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic experiment split
+    (arm = user_id % 2; a real assignment would be the md5-bucket
+    split of ``train_val_test_split``): per-arm conversion to
+    'purchase' and the pooled z statistic — the experimentation
+    readout every growth pipeline ends in.
+
+    Conversion collapses to one row per user FIRST (MAX over the
+    flag, map-side combinable — a user converting 50 times counts
+    once), then two arm rows, then one summary row: whatever the
+    event volume, everything after the first aggregate is O(1). The
+    z arithmetic is written in one canonical expression order so
+    both engines evaluate identical IEEE operations, and the z score
+    is NULL when every user (or none) converted — the pooled variance
+    is zero there and the test is undefined, which tiny samples
+    (sf0.001: 15 users, all converted) really do produce.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    conv = F.col("c0") + F.col("c1")
+    tot = F.col("n0") + F.col("n1")
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.when(
+            (conv > 0) & (conv < tot),
+            F.round(
+                (p1 - p0)
+                / F.sqrt(
+                    pool
+                    * (1 - pool)
+                    * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                ),
+                6,
+            ),
+        ).alias("z_score"),
+    )
+
+
+# ===========================================================================
+# Week-over-week growth
+# ===========================================================================
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, wk,
+       CAST(v AS DOUBLE) AS total_value,
+       ROUND(CAST(v AS DOUBLE) /
+             CAST(LAG(v) OVER (PARTITION BY event_type ORDER BY wk)
+                  AS DOUBLE) - 1, 6) AS wow_growth
+FROM weekly
+"""
+
+
+@_register("wow_growth", _WOW_SQL, tags=("analytics", "timeseries"))
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth rate of total value per event type — the
+    lag-ratio reporting shape (MoM/YoY are the same plan with a
+    different truncation). Decimal weekly sums collapse the stream
+    first; the lag window partitions on the bounded event-type key,
+    so its state is one prior row per group. NULL growth on each
+    series' first week is the honest answer, not zero.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("decimal(30,6)")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return weekly.select(
+        "event_type",
+        "wk",
+        F.col("v").cast("double").alias("total_value"),
+        F.round(
+            F.col("v").cast("double")
+            / F.lag("v").over(w).cast("double")
+            - 1,
+            6,
+        ).alias("wow_growth"),
+    )
