@@ -7,6 +7,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_r5,
     catalog_r6,
     catalog_r7,
+    catalog_r8,
     star,
 )
 
@@ -20,4 +21,5 @@ __all__ = [
     "catalog_r5",
     "catalog_r6",
     "catalog_r7",
+    "catalog_r8",
 ]

@@ -1,0 +1,716 @@
+"""Round-8 catalog entries — session 2 of round 3. Families:
+
+* statistics: chi-squared independence test (event mix vs day of
+  week), exact per-group median without a single-partition sort,
+  rolling z-score anomaly flags from exact windowed moments;
+* reporting: ratio-to-report revenue share, per-group mode with a
+  deterministic tie-break, last-touch marketing attribution;
+* time series: time-weighted average (TWAP) over irregular event
+  streams;
+* corpus curation: per-document token entropy (quality signal),
+  per-source KL divergence against the corpus-global token
+  distribution (drift / domain-shift signal);
+* dedup families the catalog did not yet have: asymmetric shingle
+  CONTAINMENT (catches subset/quote duplication that symmetric
+  Jaccard under-scores) and SORTED-NEIGHBORHOOD linkage (the
+  sort-based alternative to token blocking, built on the
+  distributed sequence operator - no single-partition window).
+
+Every entry follows plans/catalog.py portability rules: md5-derived
+keys (bit-identical across engines), decimal accumulation for
+order-independent sums, unique tiebreaks under every LIMIT / window,
+ROUND(x, 6) on every float the hash compares.
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from formula1_etl_analytics_project_spark.functions.text import shingles, tokens
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+# ===========================================================================
+# Per-group mode with deterministic tie-break
+# ===========================================================================
+
+_MODE_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY user_id, event_type
+), rn AS (
+  SELECT user_id, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n_events DESC, event_type ASC) AS r
+  FROM cnt
+)
+SELECT user_id, event_type AS modal_type, n_events
+FROM rn WHERE r = 1
+"""
+
+
+@_register("mode_event_type", _MODE_SQL, tags=("analytics", "window"))
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event type per user (the MODE aggregate) with a
+    deterministic tie-break: higher count wins, lexicographically
+    smallest type on equal counts. Spark's ``mode()`` aggregate is
+    tie-nondeterministic, so this is the window form every engine can
+    pin down. One hash-aggregation then a window partitioned on the
+    grouping key - state per group is the handful of candidate types,
+    never the raw events, so a 100 TB event log reduces to
+    |users|x|types| rows before the window runs."""
+    ev = read_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n_events")
+    )
+
+
+# ===========================================================================
+# Chi-squared test of independence (event mix vs ISO day of week)
+# ===========================================================================
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+  FROM events GROUP BY event_type, isodow(ts)
+), rowt AS (
+  SELECT event_type, SUM(n) AS rt FROM obs GROUP BY event_type
+), colt AS (
+  SELECT dow, SUM(n) AS ct FROM obs GROUP BY dow
+), tot AS (
+  SELECT SUM(n) AS n_total FROM obs
+), terms AS (
+  SELECT CAST(POWER(o.n - (r.rt * c.ct / CAST(t.n_total AS DOUBLE)), 2)
+              / (r.rt * c.ct / CAST(t.n_total AS DOUBLE))
+              AS DECIMAL(38, 12)) AS term
+  FROM obs o
+  JOIN rowt r USING (event_type)
+  JOIN colt c USING (dow)
+  CROSS JOIN tot t
+)
+SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+       (SELECT (COUNT(*) - 1) FROM rowt)
+         * (SELECT (COUNT(*) - 1) FROM colt) AS dof,
+       (SELECT n_total FROM tot) AS n_total
+FROM terms
+"""
+
+
+@_register("chi2_independence", _CHI2_SQL, tags=("analytics", "stats"))
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test: is the event-type mix
+    independent of the ISO day of week? Complements the two-proportion
+    z-test (`ab_test_ztest`) with the r x c contingency shape. The
+    contingency table is one hash-aggregation (|types| x 7 rows - tiny
+    regardless of input scale), marginals re-aggregate it, and every
+    (obs - exp)^2 / exp term is cast to DECIMAL(38,12) before the final
+    sum so the statistic is order-independent and bit-identical across
+    engines. The raw 100 TB stream collapses before anything joins."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count("*").alias("n"))
+    rowt = obs.groupBy("event_type").agg(F.sum("n").alias("rt"))
+    colt = obs.groupBy("dow").agg(F.sum("n").alias("ct"))
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    exp = F.col("rt") * F.col("ct") / F.col("n_total").cast("double")
+    term = F.pow(F.col("n") - exp, F.lit(2)) / exp
+    terms = (
+        obs.join(rowt, "event_type")
+        .join(colt, "dow")
+        .crossJoin(tot)
+        .select(
+            term.cast("decimal(38,12)").alias("term"),
+            "n_total",
+        )
+    )
+    dof = (
+        rowt.count() - 1
+    ) * (colt.count() - 1)
+    return terms.groupBy("n_total").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("chi2")
+    ).select("chi2", F.lit(dof).cast("long").alias("dof"), "n_total")
+
+
+# ===========================================================================
+# Ratio-to-report: nation revenue share
+# ===========================================================================
+
+_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS r
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(r AS DOUBLE) AS revenue,
+       ROUND(CAST(r AS DOUBLE)
+             / CAST(SUM(r) OVER () AS DOUBLE), 6) AS revenue_share
+FROM rev
+"""
+
+
+@_register("nation_revenue_share", _SHARE_SQL, tags=("analytics", "window"))
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global order revenue.
+    The reporting shape behind every "% of total" dashboard tile
+    (Power BI does this with a DAX measure over the reference's star -
+    README.md:6-18). Decimal revenue per nation first (exact,
+    order-independent), then an unpartitioned window SUM over the
+    25-row aggregate - the global window runs on |nations| rows, never
+    on the fact table, so the single-partition frame is bounded by the
+    dimension's cardinality, not the data scale. Dimension joins stay
+    broadcastable."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("r").cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+# ===========================================================================
+# Per-document token entropy (quality signal)
+# ===========================================================================
+
+_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       SUM(c) AS n_tokens,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                             AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@_register("doc_entropy", _ENTROPY_SQL, tags=("text", "quality"))
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution - the
+    low-entropy tail is boilerplate/keyword-stuffing a pretraining
+    cleaning pass cuts (complements the Gopher-style repetition
+    signals entry with the information-theoretic form). Identity
+    H = ln(N) - (1/N) * sum(c_i * ln(c_i)) needs only per-token counts,
+    so it is one explode + two hash-aggregations, no window, no UDF.
+    Each c*ln(c) term is deterministic (exact integer input), cast to
+    decimal so the per-doc sum is order-independent; both engines
+    produce bit-identical values. At 100 TB the explode is the cost -
+    it shuffles (doc_id, token) once, same profile as the TF-IDF
+    entry."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    cnt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    s = F.sum(
+        (F.col("c") * F.log(F.col("c").cast("double")))
+        .cast("decimal(38,12)")
+    )
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(
+            F.log(n.cast("double")) - s.cast("double") / n.cast("double"), 6
+        ).alias("entropy"),
+    )
+
+
+# ===========================================================================
+# Rolling z-score anomaly detection (exact windowed moments)
+# ===========================================================================
+
+_ROLLZ_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         COUNT(*) OVER win AS n,
+         SUM(CAST(value AS DECIMAL(30,6))) OVER win AS s1,
+         SUM(CAST(value * value AS DECIMAL(38,10))) OVER win AS s2
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       ROUND((value - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)), 6) AS zscore
+FROM w
+WHERE n >= 10
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 1e-12
+"""
+
+
+@_register("rolling_zscore", _ROLLZ_SQL, tags=("analytics", "window", "stats"))
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score over each user's last 10 events - the online
+    anomaly-detection twin of the static `zscore_outliers` entry.
+    stddev_samp() OVER a moving frame is NOT order-independent in
+    float; instead the frame accumulates exact decimal SUM(x) and
+    SUM(x^2) and derives mean/variance from the closed form, so both
+    engines agree bit-for-bit. The window partitions on user_id
+    (unbounded keyspace -> scales out); frame state is 10 rows. The
+    variance > 1e-12 guard drops constant windows instead of emitting
+    +/-inf."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    n = F.count("*").over(win)
+    s1 = F.sum(F.col("value").cast("decimal(30,6)")).over(win)
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)")).over(
+        win
+    )
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (
+        n - 1
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            n.alias("n"),
+            mean.alias("m"),
+            var.alias("v"),
+        )
+        .filter((F.col("n") >= 10) & (F.col("v") > 1e-12))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (F.col("value") - F.col("m")) / F.sqrt(F.col("v")), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+# ===========================================================================
+# Time-weighted average (TWAP) over irregular event streams
+# ===========================================================================
+
+_TWAP_SQL = """
+WITH stamped AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+  WHERE value IS NOT NULL
+), seg AS (
+  SELECT user_id,
+         CAST(value * (t_next - t) AS DECIMAL(38,6)) AS wv,
+         t_next - t AS dt
+  FROM stamped WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       SUM(dt) AS span_us,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+         AS twap_value
+FROM seg
+GROUP BY user_id
+HAVING SUM(dt) > 0
+"""
+
+
+@_register("twap_user_value", _TWAP_SQL, tags=("analytics", "timeseries"))
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is held
+    until the next one and weighted by its holding duration (the
+    finance TWAP / telemetry duty-cycle shape; a plain AVG over an
+    irregular stream over-weights bursts). LEAD gives exact integer
+    microsecond durations, value x duration accumulates in decimal, so
+    the result is order-independent and cross-engine exact. One window
+    partitioned on user_id plus one hash-aggregation - both scale out
+    on the unbounded user key; per-group window state is a single
+    row."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    stamped = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    seg = stamped.select(
+        "user_id",
+        (F.col("value") * dt).cast("decimal(38,6)").alias("wv"),
+        dt.alias("dt"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(F.sum("dt").alias("span_us"), F.sum("wv").alias("swv"))
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "span_us",
+            F.round(
+                F.col("swv").cast("double") / F.col("span_us").cast("double"),
+                6,
+            ).alias("twap_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Last-touch attribution
+# ===========================================================================
+
+_ATTRIB_SQL = """
+WITH touched AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       COUNT(*) AS n_purchases
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(channel, 'direct')
+"""
+
+
+@_register("attribution_last_touch", _ATTRIB_SQL, tags=("analytics", "window"))
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent preceding non-purchase event type ('direct'
+    when the purchase is the user's first event). The carry-forward is
+    LAST_VALUE ... IGNORE NULLS over an unbounded-preceding frame -
+    running state is ONE value per user regardless of history length,
+    the same forward-fill machinery as `resample_ffill`. Ordering is
+    pinned by (ts, event_id) so concurrent events cannot flip
+    attribution between engines. Partitioned on user_id: scales out."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+# ===========================================================================
+# Per-source KL divergence vs the corpus-global token distribution
+# ===========================================================================
+
+_KL_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), stot AS (
+  SELECT source, SUM(c) AS ts FROM st GROUP BY source
+), gt AS (
+  SELECT tok, SUM(c) AS g FROM st GROUP BY tok
+), gtot AS (
+  SELECT SUM(c) AS gs FROM st
+)
+SELECT s.source,
+       t.ts AS n_tokens,
+       ROUND(CAST(SUM(CAST(
+         (s.c / CAST(t.ts AS DOUBLE))
+         * ln((s.c / CAST(t.ts AS DOUBLE))
+              / (g.g / CAST(x.gs AS DOUBLE)))
+         AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_divergence
+FROM st s
+JOIN stot t USING (source)
+JOIN gt g USING (tok)
+CROSS JOIN gtot x
+GROUP BY s.source, t.ts
+"""
+
+
+@_register("kl_divergence_sources", _KL_SQL, tags=("text", "quality"))
+def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over unigram distributions - the drift /
+    domain-shift score behind "is this crawl slice distributionally
+    weird?" curation decisions (complements `domain_mix_weights`,
+    which reweights by size; this scores by content). Every source
+    token also occurs globally, so Q > 0 wherever P > 0 and no
+    smoothing is needed. Exact integer counts feed deterministic
+    double terms, each cast to decimal before the per-source sum -
+    order-independent, cross-engine exact. Shuffle profile: one
+    (source, token) aggregation, one token-keyed join against the
+    global vocabulary (vocab-sized, not corpus-sized)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
+    gt = st.groupBy("tok").agg(F.sum("c").alias("g"))
+    gtot = st.agg(F.sum("c").alias("gs"))
+    p = F.col("c") / F.col("ts").cast("double")
+    q = F.col("g") / F.col("gs").cast("double")
+    term = (p * F.log(p / q)).cast("decimal(38,12)")
+    return (
+        st.join(stot, "source")
+        .join(gt, "tok")
+        .crossJoin(gtot)
+        .groupBy("source", F.col("ts").alias("n_tokens"))
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"))
+    )
+
+
+# ===========================================================================
+# Exact per-group median without a single-partition sort
+# ===========================================================================
+
+_MEDIAN_SQL = """
+WITH rn AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_orders,
+       ROUND(AVG(o_totalprice), 6) AS median_price
+FROM rn
+WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+GROUP BY o_orderpriority
+"""
+
+
+@_register("exact_median_price", _MEDIAN_SQL, tags=("analytics", "stats"))
+def q_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order price per priority via the two-middle-rows
+    identity (odd n -> both selectors hit the same row, AVG of one
+    value; even n -> mean of the two middles). The window partitions
+    on the grouping key, so each group sorts independently - no global
+    single-partition sort. At 100 TB exact medians over few groups
+    want `percentile_approx` (mergeable sketch, documented +-eps);
+    this entry is the exact form for when the group keyspace is wide
+    enough to spread, and the AVG of at most two doubles keeps the
+    result deterministic."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wc).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    return (
+        ranked.filter((F.col("r") == lo) | (F.col("r") == hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("median_price"),
+        )
+    )
+
+
+# ===========================================================================
+# Asymmetric shingle containment (subset-duplication detector)
+# ===========================================================================
+
+_CONTAIN_SQL = r"""
+WITH normed AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), shingled AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM normed
+), grams AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(UNNEST(sh)), 1, 15))::BIGINT AS gk
+  FROM shingled
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gk = b.gk AND a.lang = b.lang
+                            AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / za.sz, 6) AS containment
+FROM shared s JOIN sizes za ON s.id_a = za.doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / za.sz >= 0.5
+"""
+
+
+@_register("containment_pairs", _CONTAIN_SQL, tags=("dedup", "text"))
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle CONTAINMENT |A n B| / |A| >= 0.5 - the
+    asymmetric near-dup measure that catches a short document embedded
+    verbatim inside a long one (quote/subset duplication), which
+    symmetric Jaccard divides away (|A n B| / |A u B| is tiny when
+    |B| >> |A|). Inverted-index self-join on 60-bit md5 shingle keys
+    (only 8-byte keys + doc ids shuffle, never shingle strings),
+    language-blocked to bound hot-key fan-out; per-doc sizes join in
+    at the end. Emits BOTH directions of an asymmetric pair - the
+    downstream keeper policy decides which side is the subset. Same
+    index shape as `trigram_search` / `dup_ngram_fraction`, so the
+    100 TB profile is known: one explode-aggregate, one key-equi-join,
+    one pair aggregation."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles("text", 3)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gk"),
+    )
+    grams = grams.persist()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gk") == F.col("b.gk"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("sz")
+    out = (
+        shared.join(sizes, shared.id_a == sizes.doc_id)
+        .filter(cont >= 0.5)
+        .select("id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment"))
+    )
+    return out
+
+
+# ===========================================================================
+# Sorted-neighborhood linkage (distributed, no single-partition window)
+# ===========================================================================
+
+_SNM_SQL = """
+WITH d AS (
+  SELECT DISTINCT regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS n
+  FROM part
+), seq AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS s FROM d
+), pairs AS (
+  SELECT a.n AS left_name, b.n AS right_name
+  FROM seq a JOIN seq b ON b.s - a.s IN (1, 2)
+  WHERE abs(length(a.n) - length(b.n)) <= 3
+    AND levenshtein(a.n, b.n) <= 3
+)
+SELECT left_name, right_name,
+       levenshtein(left_name, right_name) AS edit_dist
+FROM pairs
+"""
+
+
+@_register("sorted_neighborhood_pairs", _SNM_SQL, tags=("linkage", "dedup"))
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (window w = 3): sort the
+    distinct normalized name vocabulary, compare each name only to its
+    next 2 neighbors in sort order, keep edit-distance <= 3 pairs
+    (the synthetic vocabulary's nearest variants - 'x ring'/'x rod' -
+    sit at distance 3; a real-name corpus would use 1-2).
+    The classic alternative to token blocking (`fuzzy_name_pairs`):
+    blocking misses pairs that disagree on the blocker token; SNM
+    misses pairs whose typo is in the first characters. Production
+    systems union both - this entry supplies the second family.
+
+    Scale design: the neighbor rank comes from the DISTRIBUTED
+    sequence operator (operators/sequence.py - range shuffle +
+    per-partition offsets), NOT a single-partition ROW_NUMBER window;
+    neighbors then meet by an equi-join on (rank + offset), which is
+    an ordinary hash join. Nothing in the plan funnels through one
+    task at 100 TB. The oracle restates the rank with a plain window -
+    same values, oracle-scale only."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    d = part.select(
+        F.regexp_replace(F.lower(F.trim("p_name")), r"\s+", " ").alias("n")
+    ).distinct()
+    seq = distributed_sequence(d, "n", "s")
+    offsets = F.explode(F.array(F.lit(1), F.lit(2))).alias("off")
+    probe = seq.select(
+        F.col("n").alias("left_name"), "s", offsets
+    ).withColumn("s_right", F.col("s") + F.col("off"))
+    right = seq.select(F.col("n").alias("right_name"), F.col("s").alias("s_right"))
+    pairs = probe.join(right, "s_right").filter(
+        (
+            F.abs(F.length("left_name") - F.length("right_name")) <= 3
+        )
+        & (F.levenshtein("left_name", "right_name") <= 3)
+    )
+    return pairs.select(
+        "left_name",
+        "right_name",
+        F.levenshtein("left_name", "right_name").alias("edit_dist"),
+    )
