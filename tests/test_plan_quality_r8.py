@@ -1,0 +1,87 @@
+"""Physical-plan assertions for the round-8 catalog entries: the
+scale-critical shapes (distributed rank instead of a global window,
+hashed-key shuffles, bounded nested-loop builds, single shared
+exchanges) must be visible in explain output, not assumed."""
+
+from __future__ import annotations
+
+from formula1_etl_analytics_project_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].spark(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_snm_rank_is_distributed_not_global_window(spark):
+    """The sorted-neighborhood rank must come from the distributed
+    sequence operator (range exchange + MapInPandas stamping), NOT a
+    single-partition ROW_NUMBER window over the whole vocabulary; the
+    stamped relation must be persisted (InMemoryRelation) so the
+    probe and neighbor sides reuse one stamping pass; and the
+    neighbor match must be an equi hash join, never a nested loop."""
+    plan = _plan(spark, "sorted_neighborhood_pairs")
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    assert "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_revenue_share_window_runs_on_aggregate_not_fact(spark):
+    """The ratio-to-report window may be unpartitioned ONLY because it
+    runs over the |nations|-row aggregate: exactly one hash exchange
+    (the groupBy) feeds it, and the dimension joins broadcast so the
+    orders fact never shuffles for the join."""
+    plan = _plan(spark, "nation_revenue_share")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi2_collapses_stream_before_joining_marginals(spark):
+    """The contingency table must be a partial+final hash aggregation
+    of the raw stream BEFORE any join (the joins then run on
+    |types| x 7 rows). The only nested-loop allowed is the cross join
+    against the single-row grand total."""
+    plan = _plan(spark, "chi2_independence")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # formatted output lists each node twice (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_containment_shuffles_hashed_keys_not_shingles(spark):
+    """The inverted-index self-join must key on the 60-bit md5-derived
+    BIGINT (gk) so only 8-byte keys cross the wire, with the raw
+    shingle strings staying executor-local, and must never degrade to
+    a nested-loop or cartesian pair expansion."""
+    plan = _plan(spark, "containment_pairs")
+    assert "gk" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryRelation" in plan  # grams computed once, reused 3x
+
+
+def test_rolling_zscore_windows_share_one_exchange(spark):
+    """All three windowed accumulators (count, sum, sum of squares)
+    must run off ONE hash exchange on user_id - they share the same
+    partitioning and frame, so Spark plans a single Window node."""
+    plan = _plan(spark, "rolling_zscore")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_twap_lead_and_aggregate_share_user_partitioning(spark):
+    """The LEAD window shuffles on user_id once; the follow-up
+    per-user aggregation must reuse that partitioning (partial agg
+    allowed, but no second hashpartitioning exchange on user_id of
+    the full segment stream)."""
+    plan = _plan(spark, "twap_user_value")
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
