@@ -714,3 +714,263 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_name",
         F.levenshtein("left_name", "right_name").alias("edit_dist"),
     )
+
+
+# ===========================================================================
+# EWMA via higher-order left fold (no UDF, no recursion)
+# ===========================================================================
+
+_EWMA_SQL = """
+WITH a AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n_events
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(list_reduce(vals, (acc, x) -> 0.8 * acc + 0.2 * x), 6) AS ewma
+FROM a
+"""
+
+
+@_register("ewma_user_value", _EWMA_SQL, tags=("analytics", "timeseries"))
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) of each
+    user's value series - the recursive smoother that window frames
+    cannot express (state depends on ALL history, weights decay
+    geometrically). Expressed as a higher-order LEFT FOLD over the
+    time-ordered array (F.aggregate - JVM-side, no Python UDF):
+    acc = 0.8*acc + 0.2*x seeded with the first observation, which is
+    exactly DuckDB's list_reduce, so both engines run the identical
+    float operation sequence and agree bit-for-bit. Per-user state is
+    the user's own event list - fine for bounded per-key history; an
+    unbounded key wants the applyInPandas segment-and-carry form (the
+    streaming `stream_stateful_totals` entry shows that machinery)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("a"),
+        F.count("*").alias("n_events"),
+    )
+    vals = F.transform("a", lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals)),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+    )
+    return arr.select(
+        "user_id", "n_events", F.round(fold, 6).alias("ewma")
+    )
+
+
+# ===========================================================================
+# High-document-frequency token pruning with order-preserving rebuild
+# ===========================================================================
+
+_HDF_PRUNE_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, r.tok AS tok, r.pos AS pos
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 toks, (t, i) -> struct_pack(tok := t, pos := i))) AS r
+        FROM toked)
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df_cnt FROM pos GROUP BY tok
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), kept AS (
+  SELECT p.doc_id, p.tok, p.pos
+  FROM pos p JOIN dfreq f USING (tok) CROSS JOIN tot t
+  WHERE f.df_cnt * 2 <= t.n_docs
+)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@_register("hdf_token_prune", _HDF_PRUNE_SQL, tags=("text", "quality"))
+def q_hdf_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate pruning (the token-granular form of
+    C4's boilerplate-line removal - this corpus has no line structure,
+    so the unit is the token): drop every token whose document
+    frequency exceeds 50% of the corpus, then REBUILD each document's
+    text preserving the original token order. The rebuild is the part
+    pipelines get wrong at scale: posexplode carries the position,
+    the frequency join keys on the token (vocabulary-sized side), and
+    collect_list(struct(pos, tok)) + array_sort + array_join restores
+    order without any window. Docs reduced to nothing stay present
+    with empty text (LEFT join back to the corpus) - silently dropping
+    them would corrupt downstream doc counts."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    dfreq = (
+        pos.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_cnt"))
+    )
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    kept = (
+        pos.join(dfreq, "tok")
+        .crossJoin(tot)
+        .filter(F.col("df_cnt") * 2 <= F.col("n_docs"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+# ===========================================================================
+# Cross-source exact-duplicate overlap matrix
+# ===========================================================================
+
+_OVERLAP_SQL = """
+WITH fp AS (
+  SELECT DISTINCT md5(substr(text, 1, 80)) AS fp, source FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@_register("source_overlap_matrix", _OVERLAP_SQL, tags=("dedup", "quality"))
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: for every source pair, the
+    number of HEAD fingerprints (md5 of the first 80 chars - the cheap
+    prefix-dup signal; this synthetic corpus has zero full-text exact
+    dups at any sf, verified, so a whole-text digest would make the
+    report vacuously empty) present in BOTH - the crawl-overlap triage
+    that decides which source to drop from the mix entirely, upstream
+    of per-document dedup. Texts collapse to digests executor-side
+    before anything shuffles (`exact_dedup_docs`' trick); the
+    self-join runs on the distinct (digest, source) projection, so its
+    size is bounded by distinct-head count, and a digest shared by k
+    sources fans out to k(k-1)/2 pairs - quadratic in |sources|
+    (bounded), never in documents."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    fp = docs.select(
+        F.md5(F.substring("text", 1, 80)).alias("fp"), "source"
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ===========================================================================
+# Data-contract validation gate
+# ===========================================================================
+
+_CONTRACT_SQL = """
+SELECT 'o_totalprice_positive' AS rule, COUNT(*) FILTER (
+         WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range', COUNT(*) FILTER (
+         WHERE o_orderdate IS NULL
+            OR o_orderdate < TIMESTAMP '1992-01-01'
+            OR o_orderdate > TIMESTAMP '2030-12-31')
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_domain', COUNT(*) FILTER (
+         WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+            OR o_orderstatus IS NULL)
+FROM orders
+UNION ALL
+SELECT 'l_quantity_in_1_50', COUNT(*) FILTER (
+         WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount_tight_008', COUNT(*) FILTER (
+         WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.08)
+FROM lineitem
+"""
+
+
+@_register("data_contract_check", _CONTRACT_SQL, tags=("ops", "quality"))
+def q_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate (the engine-side twin of the
+    reference's DB constraints, DDL Final.sql:91-135 - PK/NOT
+    NULL/domain checks that MSSQL enforced and parquet cannot): each
+    rule compiles to a conditional count, ALL rules for a table run in
+    ONE scan via FILTER-style aggregates, and the result unpivots to a
+    (rule, n_violations) report a scheduler can alert on.
+    `l_discount_tight_008` is deliberately tighter than the data
+    (violations > 0) so the report's firing path is exercised, not
+    just the all-green path."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        cnt(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias(
+            "o_totalprice_positive"
+        ),
+        cnt(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2030-12-31").cast("timestamp"))
+        ).alias("o_orderdate_in_range"),
+        cnt(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("o_orderstatus_domain"),
+    )
+    l_agg = li.agg(
+        cnt(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("l_quantity_in_1_50"),
+        cnt(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.08)
+        ).alias("l_discount_tight_008"),
+    )
+    o_rep = o_agg.unpivot(
+        [], o_agg.columns, "rule", "n_violations"
+    )
+    l_rep = l_agg.unpivot([], l_agg.columns, "rule", "n_violations")
+    return o_rep.unionByName(l_rep)
