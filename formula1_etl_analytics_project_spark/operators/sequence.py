@@ -40,25 +40,28 @@ _LOCAL = "__seq_local"
 
 def distributed_sequence(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add dense sequence ids 1..N ordered by ``order_col`` without a
     single-partition window.
 
-    ``order_col`` must be unique per row (the builders' ``_row_id``
-    is); ties would make the sequence nondeterministic, exactly as in
-    any ORDER BY. Output rows keep all input columns plus ``out_col``
-    (long). Row order of the result is not defined - sequences are
-    values, not physical order.
+    ``order_col`` may be one column name or a composite list (ordered
+    lexicographically, like a multi-key ORDER BY); the combination
+    must be unique per row (the builders' ``_row_id`` is; composite
+    callers append a PK tiebreak). Ties would make the sequence
+    nondeterministic, exactly as in any ORDER BY. Output rows keep all
+    input columns plus ``out_col`` (long). Row order of the result is
+    not defined - sequences are values, not physical order.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     ranged = (
-        df.repartitionByRange(num_partitions, order_col)
+        df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
-        else df.repartitionByRange(order_col)
+        else df.repartitionByRange(*order_cols)
     )
-    ranged = ranged.sortWithinPartitions(order_col)
+    ranged = ranged.sortWithinPartitions(*order_cols)
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 

@@ -974,3 +974,241 @@ def q_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l_rep = l_agg.unpivot([], l_agg.columns, "rule", "n_violations")
     return o_rep.unionByName(l_rep)
+
+
+# ===========================================================================
+# TPC-H Q21 shape: EXISTS + NOT EXISTS over a shared derived table
+# ===========================================================================
+
+_Q21_SQL = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lo l1 ON l1.l_suppkey = s.s_suppkey AND l1.is_late
+WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@_register("sql_surface_q21", _Q21_SQL, tags=("sql", "join", "topk"))
+def q_sql_surface_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest decorrelation pattern in the suite - an EXISTS and a NOT
+    EXISTS correlated on the same key against the same derived table
+    (lateness adapted to this schema: shipped > 60 days after order
+    date; the reference schema has no commit/receipt dates). Identical
+    SQL text both engines. Spark rewrites EXISTS to a left-semi and
+    NOT EXISTS to a left-anti join on l_orderkey - set-based, no
+    per-row subquery execution - and the shared CTE keeps the
+    orders/lineitem join single-sourced. Top-20 is tie-broken on
+    s_name so the LIMIT is deterministic."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# ===========================================================================
+# TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS
+# ===========================================================================
+
+_Q22_SQL = """
+SELECT c_nationkey AS nation, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE), 2)
+         AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 450000)
+GROUP BY c_nationkey
+"""
+
+
+@_register("sql_surface_q22", _Q22_SQL, tags=("sql", "join"))
+def q_sql_surface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated
+    scalar subquery gates on the above-average balance, a correlated
+    NOT EXISTS drops customers with any big-ticket order (every
+    customer here has SOME order, so the classic no-orders predicate
+    would be vacuously empty - the threshold keeps the anti-join
+    exercised). The average is computed as exact-decimal-sum divided
+    by count - ONE double division - so the threshold is bit-identical
+    across engines; a naive AVG(double) would make the > cut
+    float-ordering-dependent. Spark plans the scalar subquery as a
+    broadcast single-row build and the NOT EXISTS as a left-anti
+    join."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+# ===========================================================================
+# Gini coefficient of customer spend (distributed exact rank)
+# ===========================================================================
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rnk FROM spend
+)
+SELECT COUNT(*) AS n_customers,
+       ROUND(2.0 * CAST(SUM(rnk * x) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
+@_register("gini_spend", _GINI_SQL, tags=("analytics", "stats"))
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend - the whale-dominance /
+    inequality measure (for a training corpus the same query over
+    per-source token counts answers "how concentrated is my data
+    mix"). Uses the rank identity G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over ascending-sorted spend. The global rank is the
+    scale problem: a bare ROW_NUMBER() OVER (ORDER BY ...) funnels
+    everything through one partition, so the rank comes from the
+    DISTRIBUTED sequence operator (range shuffle + per-partition
+    offsets, operators/sequence.py) over the composite (x, custkey)
+    key - unique, hence deterministic. Sums are exact decimal;
+    the two final divisions are single double ops, bit-identical
+    across engines. The oracle restates the rank with a plain window
+    at oracle scale."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("x")
+    )
+    ranked = distributed_sequence(spend, ["x", "o_custkey"], "rnk")
+    n = F.count("*")
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rnk") * F.col("x")).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ===========================================================================
+# Embedding cluster-quality report (long-format vector math)
+# ===========================================================================
+
+_CLUSTER_QUALITY_SQL = """
+WITH lng AS (
+  SELECT vec_id, label, u.idx AS idx, u.v AS v
+  FROM (SELECT vec_id, label,
+               unnest(list_transform(embedding,
+                 (x, i) -> struct_pack(idx := i - 1,
+                                       v := CAST(x AS DOUBLE)))) AS u
+        FROM embeddings)
+), cent AS (
+  SELECT label, idx,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM lng GROUP BY label, idx
+), norms AS (
+  SELECT label,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS cc
+  FROM cent GROUP BY label
+), per AS (
+  SELECT l.vec_id, l.label,
+         CAST(SUM(CAST(l.v * c.c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(l.v * l.v AS DECIMAL(38,12))) AS DOUBLE) AS vv
+  FROM lng l JOIN cent c ON l.label = c.label AND l.idx = c.idx
+  GROUP BY l.vec_id, l.label
+)
+SELECT p.label, COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(p.dot / (sqrt(p.vv) * sqrt(n.cc))
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cosine
+FROM per p JOIN norms n USING (label)
+GROUP BY p.label
+"""
+
+
+@_register(
+    "embedding_cluster_quality", _CLUSTER_QUALITY_SQL, tags=("similarity",)
+)
+def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report: per label, the mean cosine similarity
+    of member vectors to the label centroid - the SemDeDup-style
+    diagnostic that decides which semantic clusters are tight enough
+    to prune aggressively. All vector math runs in LONG format
+    (posexplode to (vec_id, label, idx, v)): the centroid is a plain
+    groupBy(label, idx) aggregate, the dot products a key-equi-join
+    back on (label, idx) - no UDF, no driver-side vectors, and every
+    reduction is an exact decimal sum so both engines agree
+    bit-for-bit despite float inputs (float -> double widening is
+    exact). Shuffle profile: explode once, two hash aggregations, one
+    join keyed on (label, idx) whose build side is |labels| x dim
+    rows - broadcastable at any corpus scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    lng = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("idx", "v0"),
+    ).select(
+        "vec_id", "label", "idx", F.col("v0").cast("double").alias("v")
+    )
+    lng = lng.persist()
+    cent = lng.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("cc")
+    )
+    per = (
+        lng.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("vv"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))
+    return (
+        per.join(F.broadcast(norms), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(cos.cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_cosine"),
+        )
+    )
