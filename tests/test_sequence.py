@@ -81,3 +81,23 @@ def test_build_pit_stop_plan_has_no_global_window(spark, tmp_path):
         if "Exchange SinglePartition" in l:
             assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
     assert "rangepartitioning" in plan
+
+
+def test_composite_order_key_matches_multi_column_row_number(spark):
+    """order_col as a list must rank lexicographically over the
+    composite key, matching row_number() OVER (ORDER BY a, b) - ties
+    on the first key are broken by the second, and the range shuffle
+    partitions on both columns."""
+    rows = [
+        Row(a=(i * 31) % 50, b=i, payload=f"p{i}") for i in range(5_000)
+    ]
+    df = spark.createDataFrame(rows).repartition(16)
+    got = distributed_sequence(df, ["a", "b"], "seq")
+    want = df.withColumn(
+        "seq", F.row_number().over(Window.orderBy("a", "b")).cast("long")
+    )
+    assert got.select("a", "b", "seq").exceptAll(
+        want.select("a", "b", "seq")
+    ).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
