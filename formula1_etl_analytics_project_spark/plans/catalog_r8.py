@@ -598,7 +598,9 @@ WHERE CAST(s.n_shared AS DOUBLE) / za.sz >= 0.5
 """
 
 
-@_register("containment_pairs", _CONTAIN_SQL, tags=("dedup", "text"))
+@_register(
+    "containment_pairs", _CONTAIN_SQL, tags=("dedup", "text"), bench=True
+)
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle CONTAINMENT |A n B| / |A| >= 0.5 - the
     asymmetric near-dup measure that catches a short document embedded
@@ -803,7 +805,9 @@ LEFT JOIN (
 """
 
 
-@_register("hdf_token_prune", _HDF_PRUNE_SQL, tags=("text", "quality"))
+@_register(
+    "hdf_token_prune", _HDF_PRUNE_SQL, tags=("text", "quality"), bench=True
+)
 def q_hdf_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate pruning (the token-granular form of
     C4's boilerplate-line removal - this corpus has no line structure,
