@@ -85,3 +85,79 @@ def test_twap_lead_and_aggregate_share_user_partitioning(spark):
     assert plan.count("Arguments: hashpartitioning") <= 2
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gini_rank_is_distributed_sequence(spark):
+    """The Gini global rank must come from the range-shuffled
+    distributed sequence (composite (x, custkey) key), never a bare
+    unpartitioned ROW_NUMBER window over the spend table: the only
+    single-partition exchanges sit over k-row aggregates (the
+    sequence operator's offsets and the final 1-row Gini), never over
+    a scan or the MapInPandas stamping pass."""
+    df = CATALOG["gini_spend"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+
+
+def test_cluster_quality_broadcasts_centroids(spark):
+    """The (label, idx) centroid join and the per-label norm join must
+    broadcast their label-dimension-sized build sides; the exploded
+    vector table must be computed once and reused (persisted)."""
+    plan = _plan(spark, "embedding_cluster_quality")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryRelation" in plan
+
+
+def test_hdf_prune_rebuilds_without_window(spark):
+    """The order-preserving text rebuild must be collect_list(struct)
+    + array_sort, NOT a window over positions: no Window node; the
+    frequency join keys on the token so no cartesian/nested-loop
+    appears."""
+    plan = _plan(spark, "hdf_token_prune")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+
+def test_q21_exists_pair_becomes_semi_and_anti_joins(spark):
+    """EXISTS must lower to a left-semi and NOT EXISTS to a left-anti
+    join on the order key - set-based decorrelation, never per-row
+    subquery execution or a cartesian expansion."""
+    plan = _plan(spark, "sql_surface_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_threshold_is_subquery_not_join_explosion(spark):
+    """The above-average balance threshold must compile to a scalar
+    subquery (single-row reuse) with the NOT EXISTS as a left-anti
+    join - no cartesian, no nested loop against the fact."""
+    plan = _plan(spark, "sql_surface_q22")
+    assert "Subquery" in plan or "ReusedSubquery" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_fold_stays_jvm_side(spark):
+    """The EWMA left fold is F.aggregate - JVM whole-stage codegen,
+    never a Python row UDF (BatchEvalPython) or pandas UDF
+    (ArrowEvalPython) in the plan."""
+    plan = _plan(spark, "ewma_user_value")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_contract_check_runs_all_rules_in_one_scan_per_table(spark):
+    """Every rule for a table folds into ONE conditional aggregate over
+    one scan: exactly two parquet scans (orders, lineitem) appear in
+    the plan, not one scan per rule."""
+    plan = _plan(spark, "data_contract_check")
+    # formatted output lists each node twice (tree + detail)
+    assert plan.count("Scan parquet") <= 4
