@@ -1216,3 +1216,90 @@ def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cosine"),
         )
     )
+
+
+# ===========================================================================
+# Interval-union length (merge overlapping attention windows)
+# ===========================================================================
+
+_COVERED_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 300000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islanded AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+  FROM islanded GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       SUM(en - st) AS covered_us
+FROM islands GROUP BY user_id
+"""
+
+
+@_register("covered_time_per_user", _COVERED_SQL, tags=("analytics", "window"))
+def q_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length: each event opens a 5-minute attention
+    window; overlapping windows merge, and the metric is the total
+    COVERED time per user (the "time on site" statistic - naive
+    sum-of-durations double-counts overlaps; the 1D interval-union is
+    the classic sweep-line primitive). Islands form where a window's
+    start exceeds the running MAX of all previous ends (running max,
+    not lag(e): an earlier long interval can swallow several later
+    ones); the cumulative flag sum numbers the islands. Everything is
+    exact integer microseconds - no float anywhere - and both windows
+    partition on user_id, sharing one hash exchange. The ordering ties
+    (s, event_id) / (s, e) are total, so island assignment is
+    deterministic across engines."""
+    ev = read_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(300_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islanded = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    islands = islanded.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_us"),
+    )
