@@ -1262,9 +1262,14 @@ def q_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     not lag(e): an earlier long interval can swallow several later
     ones); the cumulative flag sum numbers the islands. Everything is
     exact integer microseconds - no float anywhere - and both windows
-    partition on user_id, sharing one hash exchange. The ordering ties
-    (s, event_id) / (s, e) are total, so island assignment is
-    deterministic across engines."""
+    partition on user_id, sharing one hash exchange. The ordering tie
+    (s, event_id) is total, so island assignment is deterministic
+    across engines. Logic lives in operators/intervals.py
+    (property-tested against brute-force interval union)."""
+    from formula1_etl_analytics_project_spark.operators.intervals import (
+        covered_length,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     s = F.unix_micros("ts")
     iv = ev.select(
@@ -1273,33 +1278,6 @@ def q_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("s"),
         (s + F.lit(300_000_000)).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.select(
-        "user_id",
-        "s",
-        "e",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
-        )
-        .otherwise(0)
-        .alias("new_island"),
-    )
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islanded = flagged.select(
-        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
-    )
-    islands = islanded.groupBy("user_id", "island").agg(
-        F.min("s").alias("st"), F.max("e").alias("en")
-    )
-    return islands.groupBy("user_id").agg(
-        F.count("*").alias("n_islands"),
-        F.sum(F.col("en") - F.col("st")).alias("covered_us"),
-    )
+    return covered_length(
+        iv, ["user_id"], "s", "e", "event_id"
+    ).withColumnRenamed("covered", "covered_us")
