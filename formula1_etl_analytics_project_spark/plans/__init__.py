@@ -8,6 +8,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_r6,
     catalog_r7,
     catalog_r8,
+    catalog_r9,
     star,
 )
 
@@ -22,4 +23,5 @@ __all__ = [
     "catalog_r6",
     "catalog_r7",
     "catalog_r8",
+    "catalog_r9",
 ]

@@ -1,0 +1,234 @@
+"""Round-9 catalog entries (round 3, session 2, batch 3):
+
+* product analytics: top session event-type paths (the user-journey
+  trigram report), top-N-per-group with an OTHER rollup bucket (the
+  dashboard long-tail pattern);
+* aggregation surface: argmin via lexicographic struct-MIN - the
+  window-free form of "cheapest supplier per part" (one hash
+  aggregation, no per-group sort).
+
+Portability rules as in plans/catalog.py: decimal accumulation,
+total tie-break orders, ROUND(x, 6) on compared floats.
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+# ===========================================================================
+# Top session paths (user-journey trigrams)
+# ===========================================================================
+
+_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM ordered
+), seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS a
+  FROM sess GROUP BY user_id, session_id
+), paths AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(a) - 2),
+           i -> a[i] || '>' || a[i+1] || '>' || a[i+2])) AS path
+  FROM seqs WHERE len(a) >= 3
+)
+SELECT path, COUNT(*) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@_register("top_event_paths", _PATHS_SQL, tags=("analytics", "sequence"))
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step event-type paths within 30-minute sessions -
+    the user-journey report (generalizes `event_transitions`' 1-step
+    Markov matrix to path n-grams, WITHOUT dedup: path frequency is
+    the signal). Sessionization is the lag-gap flag + cumulative sum
+    off ONE user-partitioned exchange; the per-session sequence is a
+    collect_list sorted by the total (ts, event_id) order; trigrams
+    expand JVM-side inside the array (transform over an index
+    sequence - no self-join, no UDF) and explode into a count
+    aggregation. Per-group state is one session's events; the path
+    space is |types|^3-bounded so the final top-20 is tiny. Tie-broken
+    on the path string, so the LIMIT is deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(t - F.lag(t).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("a")
+    )
+    trigram = F.transform(
+        F.sequence(F.lit(1), F.size("a") - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at("a", i),
+            F.element_at("a", i + 1),
+            F.element_at("a", i + 2),
+        ),
+    )
+    return (
+        seqs.filter(F.size("a") >= 3)
+        .select(F.explode(trigram).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Top-N per group with OTHER rollup
+# ===========================================================================
+
+_TOPN_OTHER_SQL = """
+WITH rev AS (
+  SELECT n.n_name, p.p_name,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(30,6))) AS r
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, p.p_name
+), ranked AS (
+  SELECT n_name, p_name, r,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY r DESC, p_name) AS rn
+  FROM rev
+)
+SELECT n_name,
+       CASE WHEN rn <= 3 THEN p_name ELSE 'OTHER' END AS bucket,
+       ROUND(CAST(SUM(r) AS DOUBLE), 4) AS revenue
+FROM ranked
+GROUP BY n_name, CASE WHEN rn <= 3 THEN p_name ELSE 'OTHER' END
+"""
+
+
+@_register("topn_with_other", _TOPN_OTHER_SQL, tags=("analytics", "window"))
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per nation with everything else rolled
+    into an OTHER bucket - the dashboard long-tail pattern (a bare
+    top-N silently drops the tail; the OTHER row keeps each group's
+    total reconcilable against `nation_revenue_share`). Revenue
+    aggregates to the (nation, part) grain FIRST - decimal-exact, one
+    shuffle - so the rank window runs on the aggregate, not the fact;
+    ties break on p_name making the bucket assignment deterministic.
+    The re-aggregation collapses the tail per nation; output is
+    |nations| x 4 rows regardless of input scale. Dimension joins
+    stay broadcastable; lineitem never shuffles for them."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("r"), F.asc("p_name"))
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    bucket = F.when(F.col("rn") <= 3, F.col("p_name")).otherwise(
+        F.lit("OTHER")
+    )
+    return (
+        ranked.groupBy("n_name", bucket.alias("bucket"))
+        .agg(F.round(F.sum("r").cast("double"), 4).alias("revenue"))
+    )
+
+
+# ===========================================================================
+# Argmin via lexicographic struct-MIN (window-free)
+# ===========================================================================
+
+_CHEAPEST_SQL = """
+WITH u AS (
+  SELECT l_partkey, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+), m AS (
+  SELECT l_partkey,
+         min(struct_pack(u := unit_price, k := l_suppkey)) AS mn
+  FROM u GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       mn.k AS cheapest_suppkey,
+       ROUND(mn.u, 6) AS unit_price
+FROM m
+"""
+
+
+@_register("cheapest_supplier_per_part", _CHEAPEST_SQL, tags=("analytics",))
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2's core) via lexicographic
+    MIN over a (price, suppkey) struct - the AGGREGATION form of
+    argmin: one partial+final hash aggregation, no window, no
+    per-group sort, which at 100 TB beats the row_number form by the
+    whole sort (min_by/arg_min would also work but are
+    tie-NONDETERMINISTIC; the struct's suppkey component makes ties
+    break identically in both engines). unit_price is one double
+    division per row - bit-identical inputs, bit-identical result -
+    and rounding happens only at output, never before the
+    comparison."""
+    li = read_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    m = u.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                F.col("unit_price").alias("u"), F.col("l_suppkey").alias("k")
+            )
+        ).alias("mn")
+    )
+    return m.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("mn.k").alias("cheapest_suppkey"),
+        F.round(F.col("mn.u"), 6).alias("unit_price"),
+    )
