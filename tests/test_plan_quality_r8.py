@@ -161,3 +161,32 @@ def test_contract_check_runs_all_rules_in_one_scan_per_table(spark):
     plan = _plan(spark, "data_contract_check")
     # formatted output lists each node twice (tree + detail)
     assert plan.count("Scan parquet") <= 4
+
+
+def test_event_paths_expand_without_join(spark):
+    """Trigram expansion happens inside the per-session array
+    (transform over an index sequence + explode): no Join node
+    anywhere, and the top-20 lowers to TakeOrderedAndProject."""
+    plan = _plan(spark, "top_event_paths")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topn_other_ranks_aggregate_not_fact(spark):
+    """The rank window must consume the (nation, part) aggregate, and
+    the dimension joins must broadcast at this sf - the fact side
+    never sort-merge shuffles for them."""
+    plan = _plan(spark, "topn_with_other")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_struct_min_argmin_has_no_window_or_sort(spark):
+    """The struct-MIN argmin is one partial+final hash aggregation:
+    no Window, no Sort, exactly one hash exchange (on l_partkey)."""
+    plan = _plan(spark, "cheapest_supplier_per_part")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
