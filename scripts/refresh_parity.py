@@ -18,11 +18,14 @@ import duckdb
 
 SF_DIR = "/root/testdata/sf0.1"
 OUT = "PARITY_SF01_r03.json"
+ONLY = None  # --only=a,b,c: sweep just these entries and MERGE into OUT
 for a in sys.argv[1:]:
     if a.startswith("--sf="):
         SF_DIR = a.split("=", 1)[1]
     if a.startswith("--out="):
         OUT = a.split("=", 1)[1]
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
 
 
 def _norm_cell(v):
@@ -58,6 +61,11 @@ def main():
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     qs, osql = e.queries(), e.oracle_sql()
+    if ONLY is not None:
+        unknown = ONLY - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not in catalog: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in ONLY}
     entries, n_matched = {}, 0
     for name, fn in qs.items():
         try:
@@ -79,15 +87,29 @@ def main():
         n_matched += bool(match)
         print(("MATCH " if match else "MISMATCH ") + name, flush=True)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    out = {
-        "sf": sf,
-        "n_entries": len(qs),
-        "n_matched": n_matched,
-        "entries": entries,
-    }
+    if ONLY is not None:
+        try:
+            with open(OUT) as f:
+                out = json.load(f)
+        except (OSError, ValueError):
+            out = {"sf": sf, "entries": {}}
+        out["entries"].update(entries)
+        out["n_entries"] = len(out["entries"])
+        out["n_matched"] = sum(
+            1 for v in out["entries"].values() if v.get("match")
+        )
+    else:
+        out = {
+            "sf": sf,
+            "n_entries": len(qs),
+            "n_matched": n_matched,
+            "entries": entries,
+        }
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"{n_matched}/{len(qs)} matched -> {OUT}", flush=True)
+    print(
+        f"{out['n_matched']}/{out['n_entries']} matched -> {OUT}", flush=True
+    )
 
 
 if __name__ == "__main__":
