@@ -232,3 +232,146 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn.k").alias("cheapest_suppkey"),
         F.round(F.col("mn.u"), 6).alias("unit_price"),
     )
+
+
+# ===========================================================================
+# Keep-BEST dedup (quality-ranked keeper policy)
+# ===========================================================================
+
+_KEEP_BEST_SQL = """
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(substr(text, 1, 80)) AS fp
+  FROM documents
+), best AS (
+  SELECT fp,
+         max(struct_pack(n := n_chars, id := doc_id)) AS b,
+         COUNT(*) AS group_size
+  FROM fp GROUP BY fp
+)
+SELECT fp, b.id AS kept_doc_id, b.n AS kept_n_chars, group_size
+FROM best
+"""
+
+
+@_register("dedup_keep_best", _KEEP_BEST_SQL, tags=("dedup", "quality"))
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: among documents sharing an 80-char head
+    fingerprint, keep the one a quality policy prefers - here longest
+    text, doc_id as the deterministic tie-break (the corpus-curation
+    keeper policy; the reference and `dedup_first_order` keep FIRST,
+    which preserves arrival accidents rather than quality - SURVEY.md
+    section 2.5 D2). Expressed as a lexicographic struct-MAX
+    aggregation, not a window: one partial+final hash agg on the
+    fingerprint, no per-group sort, and partial aggregation collapses
+    each group map-side before the shuffle - at 100 TB only one
+    candidate row per (partition, fingerprint) crosses the wire."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, 80)).alias("fp"),
+    )
+    best = fp.groupBy("fp").agg(
+        F.max(
+            F.struct(F.col("n_chars").alias("n"), F.col("doc_id").alias("id"))
+        ).alias("b"),
+        F.count("*").alias("group_size"),
+    )
+    return best.select(
+        "fp",
+        F.col("b.id").alias("kept_doc_id"),
+        F.col("b.n").alias("kept_n_chars"),
+        "group_size",
+    )
+
+
+# ===========================================================================
+# As-of join with staleness tolerance
+# ===========================================================================
+
+_ASOF_TOL_SQL = """
+WITH ord_d AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+), unioned AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_event, event_id,
+         NULL::BIGINT AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey, o_orderdate, 0, NULL, o_orderkey FROM ord_d
+), carried AS (
+  SELECT k, t, is_event, event_id,
+         last_value(CASE WHEN is_event = 0
+                         THEN struct_pack(ot := t, okey := o_orderkey) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY t, is_event, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM unioned
+)
+SELECT event_id, k AS user_id,
+       CASE WHEN epoch_us(t) - epoch_us(m.ot) <= 2592000000000
+            THEN m.okey END AS matched_orderkey
+FROM carried WHERE is_event = 1
+"""
+
+
+@_register("asof_join_tolerance", _ASOF_TOL_SQL, tags=("join", "timeseries"))
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND: each event matches the
+    latest same-user order at-or-before its timestamp, but only if
+    that order is at most 30 days old - the feature-store semantics
+    (`asof_join` without the bound happily serves a year-stale
+    feature; production point-in-time lookups always carry a
+    max-staleness). Same union-window composition as `asof_join` (one
+    shuffle on the key, no merge_asof pandas), except the carried
+    payload is a (match_ts, match_key) struct so the tolerance
+    predicate can null out stale matches AFTER the carry-forward -
+    the bound cannot be pushed into the window frame because ROWS
+    frames count rows, not time, and a RANGE frame cannot carry a
+    struct. NULL matched_orderkey = no fresh-enough order, the honest
+    answer."""
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    ord_d = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = ord_d.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = left.unionByName(right).withColumn(
+        "m",
+        F.last(
+            F.when(
+                F.col("is_event") == 0,
+                F.struct(
+                    F.col("t").alias("ot"), F.col("o_orderkey").alias("okey")
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    tol_us = 30 * 24 * 3600 * 1_000_000
+    return carried.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(
+            F.unix_micros("t") - F.unix_micros("m.ot") <= tol_us,
+            F.col("m.okey"),
+        ).alias("matched_orderkey"),
+    )
