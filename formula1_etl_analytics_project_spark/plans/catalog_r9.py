@@ -197,7 +197,7 @@ WITH u AS (
 )
 SELECT l_partkey AS partkey,
        mn.k AS cheapest_suppkey,
-       ROUND(mn.u, 6) AS unit_price
+       mn.u AS unit_price
 FROM m
 """
 
@@ -212,8 +212,11 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-NONDETERMINISTIC; the struct's suppkey component makes ties
     break identically in both engines). unit_price is one double
     division per row - bit-identical inputs, bit-identical result -
-    and rounding happens only at output, never before the
-    comparison."""
+    and is emitted UNROUNDED: quantity is often a power of two, so
+    unit prices land EXACTLY on .5 at the rounding digit, where Spark
+    (HALF_UP) and DuckDB (HALF_EVEN) disagree - the sf0.1 sweep
+    caught 4 such parts that sf0.01 never produced. The raw double is
+    deterministic; rounding here would be the bug."""
     li = read_table(spark, sf_dir, "lineitem")
     u = li.select(
         "l_partkey",
@@ -230,7 +233,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("l_partkey").alias("partkey"),
         F.col("mn.k").alias("cheapest_suppkey"),
-        F.round(F.col("mn.u"), 6).alias("unit_price"),
+        F.col("mn.u").alias("unit_price"),
     )
 
 
