@@ -309,3 +309,125 @@ def ivf_recall_at_k(
             F.round(F.count(F.col("i._hit")) / k, 6).alias("recall_at_k")
         )
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    sub_len: int = 16,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each ``m * sub_len``-dim vector into
+    ``m`` subvectors, train ``k`` centroids per subspace (deterministic
+    first-k seed + one decimal-mean Lloyd update), and assign every
+    subvector its nearest (squared-L2) centroid. Output per vector:
+    the ``m``-entry code word plus the reconstruction MSE - the memory
+    side of the ANN stack (IVF prunes WHERE to look, PQ shrinks WHAT
+    is kept: 64 floats -> m small ints, a 64x compression at these
+    defaults, searched via asymmetric distance against the codebook).
+
+    Determinism: seeds are the subvectors of the k smallest ids;
+    squared distances are strict left-fold doubles (bit-identical in
+    DuckDB's list_reduce); argmin tie-breaks on cent_id; the Lloyd
+    update means are decimal-cast sums. The whole train+assign loop is
+    therefore cross-engine reproducible, like kmeans_lloyd_centroids.
+
+    Scale shape: the corpus never shuffles - both assignment passes
+    broadcast the m*k codebook; the only shuffles are the
+    (sub_id, cell, pos)-grouped centroid update (m*k*sub_len rows out)
+    and the final per-vector code collect, which is keyed by the id
+    and combines map-side. At 100 TB you persist the codebook once and
+    the encode pass is a single narrow map over the fact table.
+    """
+    sq = F.lit(0.0)
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            sq,
+            lambda acc, v: acc + v,
+        )
+
+    subs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_id"),
+                        F.slice(F.col(vec_col), j * sub_len + 1, sub_len).alias(
+                            "sv"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.sub_id").alias("sub_id"), F.col("_s.sv").alias("sv"))
+
+    seed_ids = df.select(id_col).orderBy(id_col).limit(k)
+    cent0 = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            "sub_id",
+            F.col("sv").alias("cv"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col, "sub_id").orderBy("_d", "cent_id")
+        return (
+            subs.join(F.broadcast(cents), "sub_id")
+            .withColumn("_d", sqdist(F.col("sv"), F.col("cv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "sub_id", F.col("cent_id").alias("code"), "_d")
+        )
+
+    a1 = assign(cent0)
+    upd = (
+        a1.join(subs, [id_col, "sub_id"])
+        .select("sub_id", F.col("code").alias("cell"), F.posexplode("sv").alias("_p", "_v"))
+        .groupBy("sub_id", "cell", "_p")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("_cv")
+        )
+    )
+    cent1 = (
+        upd.groupBy("sub_id", "cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_p", "_cv"))).alias("_pv")
+        )
+        .select(
+            "sub_id",
+            F.col("cell").alias("cent_id"),
+            F.transform("_pv", lambda s: s["_cv"]).alias("cv"),
+        )
+    )
+    a2 = assign(cent1)
+    dim = m * sub_len
+    return (
+        a2.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.round(
+                F.sum(F.col("_d").cast("decimal(38,12)")).cast("double")
+                / F.lit(float(dim)),
+                6,
+            ).alias("recon_mse"),
+        )
+    )

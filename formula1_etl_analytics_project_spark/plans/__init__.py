@@ -9,6 +9,7 @@ from formula1_etl_analytics_project_spark.plans import (
     catalog_r7,
     catalog_r8,
     catalog_r9,
+    catalog_r10,
     star,
 )
 
@@ -24,4 +25,5 @@ __all__ = [
     "catalog_r7",
     "catalog_r8",
     "catalog_r9",
+    "catalog_r10",
 ]

@@ -1,0 +1,562 @@
+"""Round-10 catalog entries (round 3, session 3): the language-model
+scoring / retrieval / storage-dedup text stack:
+
+* `unigram_logprob_score` - CCNet-style perplexity-proxy quality
+  filter: per-document mean negative log-likelihood under the corpus
+  unigram LM;
+* `bm25_doc_scores` - BM25 ranking of documents against a fixed query
+  term set (the retrieval twin of `tfidf_top_terms`);
+* `source_boilerplate_ngrams` - per-source template detection: the
+  most widely shared word 5-grams, counted on 60-bit hash keys with
+  the strings fetched back only for the winners;
+* `cdc_chunk_dedup` - content-defined chunking (rolling-hash
+  boundaries) + cross-corpus chunk-level dedup ratio, the storage /
+  near-shift dedup primitive.
+
+Portability rules as in plans/catalog.py: exact integer counts feed
+deterministic double terms, each cast to DECIMAL before any
+accumulation (order-independent sums), ROUND(x, 6) on compared
+floats, md5 for every hash, unique-key tie-breaks under every LIMIT.
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from formula1_etl_analytics_project_spark.functions.text import (
+    shingles,
+    tokens,
+)
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+# ===========================================================================
+# Corpus-unigram-LM mean negative log-likelihood (perplexity proxy)
+# ===========================================================================
+
+_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+), gt AS (
+  SELECT tok, SUM(c) AS g FROM dt GROUP BY tok
+), gtot AS (
+  SELECT SUM(c) AS gs FROM dt
+)
+SELECT d.doc_id,
+       SUM(d.c) AS n_tokens,
+       ROUND(CAST(SUM(CAST(
+           d.c * -ln(CAST(g.g AS DOUBLE) / CAST(x.gs AS DOUBLE))
+           AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(SUM(d.c) AS DOUBLE), 6) AS mean_nll
+FROM dt d
+JOIN gt g USING (tok)
+CROSS JOIN gtot x
+GROUP BY d.doc_id
+"""
+
+
+@_register(
+    "unigram_logprob_score",
+    _NLL_SQL,
+    tags=("text", "quality"),
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet / Wikipedia-LM filter
+    reduced to its SQL-expressible core): train a unigram LM on the
+    corpus itself, then score every document by mean negative
+    log-likelihood -(1/n_d) * sum_t c_dt * ln(p(t)). High-NLL docs are
+    rare-token noise, low-NLL docs are stopword soup - a cleaning
+    pass cuts both tails. Completes the per-doc quality triptych:
+    `doc_entropy` scores a doc against ITS OWN distribution, this
+    scores it against the CORPUS distribution, `kl_divergence_sources`
+    scores a source against the corpus.
+
+    Determinism: exact integer counts feed ln() on identical doubles
+    in both engines; each c*ln(p) term is cast to decimal so the
+    per-doc sum is order-independent.
+
+    Shape at 100 TB: one (doc_id, token) explode+agg (the same shuffle
+    profile as TF-IDF), one token-keyed join against the vocab-sized
+    LM table, the 1-row corpus total broadcast. No window, no UDF; a
+    real deployment trains the LM on a held-out slice and broadcasts
+    it - the join here IS that broadcast once the LM side is small.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    gt = dt.groupBy("tok").agg(F.sum("c").alias("g"))
+    gtot = dt.agg(F.sum("c").alias("gs"))
+    p = F.col("g").cast("double") / F.col("gs").cast("double")
+    term = (F.col("c") * -F.log(p)).cast("decimal(38,12)")
+    return (
+        dt.join(gt, "tok")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("c").cast("double"), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
+# ===========================================================================
+# BM25 document scoring against a fixed query term set
+# ===========================================================================
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tok
+  WHERE tok IN ('spark', 'join', 'window')
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_terms,
+       ROUND(CAST(SUM(CAST(
+         ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(t.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+         / (CAST(t.tf AS DOUBLE)
+            + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * CAST(l.dl AS DOUBLE) / s.avgdl))
+         AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+FROM tf t
+JOIN df f USING (tok)
+JOIN dl l USING (doc_id)
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id
+LIMIT 20
+"""
+
+
+@_register(
+    "bm25_doc_scores",
+    _BM25_SQL,
+    tags=("text", "retrieval"),
+)
+def q_bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 ranking for a fixed 3-term query - the retrieval
+    scorer a dedup/curation pipeline uses to pull topical slices out
+    of a crawl (and the ranking twin of `tfidf_top_terms`, which
+    reports terms; this ranks documents). Okapi form: idf(t) =
+    ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation k1=1.2, length
+    normalization b=0.75 against the corpus mean doc length.
+
+    Determinism: every input to the per-(doc, term) score is an exact
+    integer (tf, df, N, dl) or one shared double (avgdl = one exact
+    integer division), both engines evaluate the identical expression
+    tree, and the <= 3 per-doc terms are decimal-summed. Final order:
+    score desc, doc_id - a total order.
+
+    Shape at 100 TB: the tf table is filtered to the query terms
+    BEFORE any aggregation (predicate on the exploded token - in a
+    real index this is the posting-list lookup), so everything
+    downstream of the explode is query-sized, not corpus-sized. The
+    doc-length table is corpus-wide but joins on doc_id right before
+    the final agg; df and corpus stats are 1-3 rows, broadcast. The
+    TakeOrdered(20) never materializes a global sort.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf").cast("double") * (F.lit(_BM25_K1) + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    term = (idf * tfn).cast("decimal(38,12)")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(term).cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Per-source boilerplate 5-grams (template detection)
+# ===========================================================================
+
+_BOILER_SQL = r"""
+WITH normed AS (
+  SELECT doc_id, source,
+         list_filter(string_split(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), shingled AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             i -> array_to_string(toks[i:i+4], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM normed
+), grams AS (
+  SELECT doc_id, source, UNNEST(sh) AS gram
+  FROM shingled
+), keyed AS (
+  SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gk,
+         MIN(gram) AS gram, COUNT(*) AS n_docs
+  FROM grams
+  GROUP BY source, ('0x' || substr(md5(gram), 1, 15))::BIGINT
+), ranked AS (
+  SELECT source, gk, gram, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_docs DESC, gk) AS rk
+  FROM keyed
+)
+SELECT source, rk, n_docs, gram
+FROM ranked WHERE rk <= 5
+"""
+
+
+@_register(
+    "source_boilerplate_ngrams",
+    _BOILER_SQL,
+    tags=("text", "dedup"),
+)
+def q_source_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template / boilerplate detector: per source, the 5 word
+    5-grams shared by the most documents (within-doc distinct, so a
+    gram repeated inside one page counts once). The per-SOURCE view is
+    what catches site templates - headers, footers, cookie banners -
+    that corpus-global dup fractions (`dup_ngram_fraction`) dilute.
+
+    Scale design - count on keys, fetch strings for winners only: the
+    heavy (source, gram)-grouped count runs on 60-bit md5 BIGINT keys
+    so the big shuffle moves 8-byte keys, and the ~30-byte gram
+    strings survive only as a MIN() per group - deterministic under
+    the (negligible, oracle-bit-identical) 60-bit collisions - with
+    the top-5-per-source cut via a partial-window row_number that AQE
+    evaluates per partition before the final per-source merge. In a
+    100 TB deployment the same two-level shape holds: key-grouped
+    count, per-source top-k, then (optionally) a semi-join back to
+    recover ALL colliding strings; here MIN() is exact because the
+    oracle reproduces the identical collision buckets.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "source", F.explode(shingles("text", 5)).alias("gram")
+    )
+    keyed = (
+        grams.withColumn(
+            "gk",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
+        )
+        .groupBy("source", "gk")
+        .agg(F.min("gram").alias("gram"), F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "gk")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "n_docs", "gram")
+    )
+
+
+# ===========================================================================
+# Content-defined chunking + chunk-level dedup ratio
+# ===========================================================================
+
+_CDC_MOD = 16  # boundary when gram-hash % 16 == 0 -> ~16-token chunks
+
+_CDC_SQL = rf"""
+WITH normed AS (
+  SELECT doc_id, source,
+         list_filter(string_split(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, len(toks) AS n, r.p AS p, r.tok AS tok,
+         CASE WHEN r.p >= 5 AND r.p < len(toks)
+                   AND ('0x' || substr(md5(
+                         array_to_string(toks[r.p - 4:r.p], ' ')),
+                       1, 15))::BIGINT % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM (SELECT doc_id, source, toks,
+               UNNEST(list_transform(generate_series(1, len(toks)),
+                 i -> struct_pack(p := i, tok := toks[i]))) AS r
+        FROM normed)
+), chunked AS (
+  SELECT doc_id, source, p, tok,
+         COALESCE(SUM(boundary) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM pos
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+         COUNT(*) AS chunk_len,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS sig
+  FROM chunked
+  GROUP BY doc_id, source, chunk_id
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT sig) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(DISTINCT sig) AS DOUBLE) / COUNT(*), 6)
+         AS dedup_ratio,
+       ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 6)
+         AS avg_chunk_len
+FROM chunks
+GROUP BY source
+"""
+
+
+@_register(
+    "cdc_chunk_dedup",
+    _CDC_SQL,
+    tags=("text", "dedup"),
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style, in tokens): a
+    chunk boundary falls after token p whenever the rolling window -
+    here the md5 of the 5-gram ending at p - hits 0 mod 16, giving
+    ~16-token expected chunks whose boundaries are a pure function of
+    LOCAL content. That is the property fixed-size chunking lacks: an
+    insertion early in a document shifts every fixed window but only
+    the one CDC chunk it touches, so shifted near-duplicates still
+    collapse chunk-for-chunk. Per source: chunk count, distinct chunk
+    signatures, the storage dedup ratio, and mean chunk length.
+
+    Determinism: boundaries and signatures are md5/integer arithmetic,
+    bit-identical cross-engine; the within-chunk token order is pinned
+    by position (ordered string_agg / sorted collect), and the final
+    doubles are exact-int ratios rounded at 6.
+
+    Shape at 100 TB: one posexplode, one per-document window cumsum
+    (partitioned by doc_id - no global window), one (doc, chunk)
+    hash-agg, then a signature-distinct rollup per source. The
+    signature agg shuffles 16-byte digests, never chunk text. This is
+    the chunk-store layout under storage dedup and the candidate
+    generator for shift-robust near-dup at sub-document grain.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    normed = docs.select(
+        "doc_id",
+        "source",
+        tokens(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        ).alias("toks"),
+    )
+    pos = normed.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n"),
+        F.col("toks"),
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("p0") + 1).alias("p"),
+        "tok",
+        F.when(
+            (F.col("p0") + 1 >= 5)
+            & (F.col("p0") + 1 < F.col("n"))
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("toks"), F.col("p0") - 3, 5),
+                                " ",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CDC_MOD
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.count("*").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("sig"),
+        )
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("sig").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("sig").cast("double") / F.count("*"),
+            6,
+        ).alias("dedup_ratio"),
+        F.round(F.sum("chunk_len").cast("double") / F.count("*"), 6).alias(
+            "avg_chunk_len"
+        ),
+    )
+
+
+# ===========================================================================
+# Product quantization codes (ANN memory compression)
+# ===========================================================================
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    t = (
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> {t}), (x, y) -> x + y)"
+    )
+
+
+_PQ_ASSIGN = """
+  SELECT vec_id, sub_id, cent_id AS code, _d FROM (
+    SELECT s.vec_id, s.sub_id, c.cent_id,
+           {d} AS _d,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY {d}, c.cent_id) AS rn
+    FROM subs s JOIN {cent} c USING (sub_id))
+  WHERE rn = 1
+"""
+
+_PQ_SQL = f"""
+WITH subs AS (
+  SELECT vec_id, s.sub_id AS sub_id, s.sv AS sv
+  FROM (SELECT vec_id,
+          UNNEST([struct_pack(sub_id := 0, sv := embedding[1:16]),
+                  struct_pack(sub_id := 1, sv := embedding[17:32]),
+                  struct_pack(sub_id := 2, sv := embedding[33:48]),
+                  struct_pack(sub_id := 3, sv := embedding[49:64])]) AS s
+        FROM embeddings)
+), seed AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4
+), cent0 AS (
+  SELECT s.vec_id AS cent_id, s.sub_id, s.sv AS cv
+  FROM subs s JOIN seed USING (vec_id)
+), a1 AS (
+  {_PQ_ASSIGN.format(d=_sql_sqdist('s.sv', 'c.cv'), cent='cent0')}
+), u1 AS (
+  SELECT sub_id, cell, s.pos AS pos,
+         CAST(SUM(CAST(s.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM (SELECT a.sub_id, a.code AS cell,
+          UNNEST(list_transform(generate_series(1, len(b.sv)),
+            i -> struct_pack(pos := i, val := b.sv[i]))) AS s
+        FROM a1 a JOIN subs b USING (vec_id, sub_id))
+  GROUP BY sub_id, cell, s.pos
+), cent1 AS (
+  SELECT sub_id, cell AS cent_id, list(cval ORDER BY pos) AS cv
+  FROM u1 GROUP BY sub_id, cell
+), a2 AS (
+  {_PQ_ASSIGN.format(d=_sql_sqdist('s.sv', 'c.cv'), cent='cent1')}
+)
+SELECT vec_id,
+       list(code ORDER BY sub_id) AS codes,
+       ROUND(CAST(SUM(CAST(_d AS DECIMAL(38,12))) AS DOUBLE) / 64.0, 6)
+         AS recon_mse
+FROM a2 GROUP BY vec_id
+"""
+
+
+@_register(
+    "pq_codes",
+    _PQ_SQL,
+    tags=("vector", "iterative"),
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 4
+    subspaces x 16 dims, 4 centroids each (first-k seed + one
+    decimal-mean Lloyd update), nearest-squared-L2 code per subspace.
+    Completes the vector stack's memory axis: IVF (`ann_ivf`) prunes
+    WHERE to search, int8 (`quantize_embeddings`) shrinks each value,
+    PQ replaces the vector with an m-byte codeword searched via
+    asymmetric distance - 64 floats -> 4 codes here. `recon_mse` is
+    the quantization-quality gate a deployment tunes (m, k) against.
+
+    Determinism and the 100 TB shape are documented on the operator
+    (operators/similarity.py pq_encode): codebook broadcast both
+    passes, corpus never shuffles, strict-left-fold distances,
+    cent_id tie-breaks, decimal-cast update means - the same
+    cross-engine-reproducible iterative pattern as kmeans_centroids.
+    """
+    from formula1_etl_analytics_project_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return pq_encode(emb, m=4, sub_len=16, k=4)
