@@ -602,3 +602,62 @@ def test_cohort_retention_is_single_scan_no_join(spark):
     # formatted explain lists each scan twice (tree + detail block)
     assert plan.count("ReadSchema") == 1
     assert "Join" not in plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark):
+    """The BM25 tf branch must cut to the 3 query terms at the explode
+    (the posting-list lookup), so every aggregate downstream of that
+    branch is query-sized; the codebook-side df/stats tables join as
+    broadcasts."""
+    plan = _plan(spark, "bm25_doc_scores")
+    # the term predicate sits in a Filter, not after any aggregate
+    assert "tok IN (spark,join,window)" in plan.replace("'", "") or (
+        "spark" in plan and "Filter" in plan
+    )
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_topk_lowers_to_take_ordered(spark):
+    plan = _plan(spark, "bm25_doc_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_boilerplate_count_shuffles_hashed_keys(spark):
+    """The heavy (source, gk) count groups on the 60-bit BIGINT key -
+    the raw gram strings survive only as a MIN() aggregate, never as a
+    grouping key of the wide shuffle."""
+    plan = _plan(spark, "source_boilerplate_ngrams")
+    agg_key_lines = [
+        l for l in plan.splitlines() if "Keys" in l and "gk" in l
+    ]
+    assert agg_key_lines, "grouped count must key on the hashed gk"
+    assert not any("gram" in l for l in agg_key_lines)
+    # per-source top-5 via row_number window after the key-grouped agg
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_cdc_chunk_window_partitions_by_doc(spark):
+    """The chunk-id cumsum must be a per-document window - a global
+    (empty-partition-spec) window here would serialize the corpus
+    through one task."""
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "doc_id" in plan
+    # every window spec carries a partition list; none may be empty
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" in line:
+            assert "partitionBy=[]" not in line
+    # the formatted plan shows the window's partition spec in its
+    # Arguments; assert no single-partition exchange anywhere
+    assert "SinglePartition" not in plan
+
+
+def test_pq_assignment_broadcasts_codebook(spark):
+    """Both PQ assignment passes must broadcast the m*k codebook; the
+    corpus side never shuffles for the joins (its only exchanges are
+    the centroid-update agg and the final per-vector collect)."""
+    plan = _plan(spark, "pq_codes")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
