@@ -311,6 +311,102 @@ def ivf_recall_at_k(
     )
 
 
+def _pq_sqdist(a, b):
+    """Strict left-fold squared L2 - bit-identical to DuckDB's
+    list_reduce over the same element order."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(df: DataFrame, m: int, sub_len: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub_id, sv): each vector exploded into its m subvectors."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_id"),
+                        F.slice(F.col(vec_col), j * sub_len + 1, sub_len).alias(
+                            "sv"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.sub_id").alias("sub_id"), F.col("_s.sv").alias("sv"))
+
+
+def _pq_train(
+    df: DataFrame,
+    m: int,
+    sub_len: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ trainer: first-k seed, one decimal-mean Lloyd update,
+    final assignment. Returns (subs, codebook, assigned) where
+    codebook = (sub_id, cent_id, cv array<double>) and assigned =
+    (id, sub_id, code, _d). Determinism and scale notes on pq_encode.
+    """
+    subs = _pq_subvectors(df, m, sub_len, id_col, vec_col)
+
+    seed_ids = df.select(id_col).orderBy(id_col).limit(k)
+    cent0 = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            "sub_id",
+            F.col("sv").alias("cv"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col, "sub_id").orderBy("_d", "cent_id")
+        return (
+            subs.join(F.broadcast(cents), "sub_id")
+            .withColumn("_d", _pq_sqdist(F.col("sv"), F.col("cv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "sub_id", F.col("cent_id").alias("code"), "_d")
+        )
+
+    a1 = assign(cent0)
+    upd = (
+        a1.join(subs, [id_col, "sub_id"])
+        .select("sub_id", F.col("code").alias("cell"), F.posexplode("sv").alias("_p", "_v"))
+        .groupBy("sub_id", "cell", "_p")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("_cv")
+        )
+    )
+    cent1 = (
+        upd.groupBy("sub_id", "cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_p", "_cv"))).alias("_pv")
+        )
+        .select(
+            "sub_id",
+            F.col("cell").alias("cent_id"),
+            F.transform("_pv", lambda s: s["_cv"]).alias("cv"),
+        )
+    )
+    return subs, cent1, assign(cent1)
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 4,
@@ -341,81 +437,7 @@ def pq_encode(
     and combines map-side. At 100 TB you persist the codebook once and
     the encode pass is a single narrow map over the fact table.
     """
-    sq = F.lit(0.0)
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            sq,
-            lambda acc, v: acc + v,
-        )
-
-    subs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub_id"),
-                        F.slice(F.col(vec_col), j * sub_len + 1, sub_len).alias(
-                            "sv"
-                        ),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("_s"),
-    ).select(id_col, F.col("_s.sub_id").alias("sub_id"), F.col("_s.sv").alias("sv"))
-
-    seed_ids = df.select(id_col).orderBy(id_col).limit(k)
-    cent0 = (
-        subs.join(F.broadcast(seed_ids), id_col)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            "sub_id",
-            F.col("sv").alias("cv"),
-        )
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        w = Window.partitionBy(id_col, "sub_id").orderBy("_d", "cent_id")
-        return (
-            subs.join(F.broadcast(cents), "sub_id")
-            .withColumn("_d", sqdist(F.col("sv"), F.col("cv")))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "sub_id", F.col("cent_id").alias("code"), "_d")
-        )
-
-    a1 = assign(cent0)
-    upd = (
-        a1.join(subs, [id_col, "sub_id"])
-        .select("sub_id", F.col("code").alias("cell"), F.posexplode("sv").alias("_p", "_v"))
-        .groupBy("sub_id", "cell", "_p")
-        .agg(
-            (
-                F.sum(F.col("_v").cast("decimal(30,12)")).cast("double")
-                / F.count("*")
-            ).alias("_cv")
-        )
-    )
-    cent1 = (
-        upd.groupBy("sub_id", "cell")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("_p", "_cv"))).alias("_pv")
-        )
-        .select(
-            "sub_id",
-            F.col("cell").alias("cent_id"),
-            F.transform("_pv", lambda s: s["_cv"]).alias("cv"),
-        )
-    )
-    a2 = assign(cent1)
+    _, _, a2 = _pq_train(df, m, sub_len, k, id_col, vec_col)
     dim = m * sub_len
     return (
         a2.groupBy(id_col)
@@ -429,5 +451,95 @@ def pq_encode(
                 / F.lit(float(dim)),
                 6,
             ).alias("recon_mse"),
+        )
+    )
+
+
+def pq_adc_recall(
+    df: DataFrame,
+    every: int = 200,
+    topk: int = 10,
+    m: int = 4,
+    sub_len: int = 16,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance (ADC) search against the
+    exact squared-L2 answer - the quality gate that closes the PQ
+    loop (pq_encode compresses; this measures what the compression
+    costs at query time). Queries are the vectors with id % every == 0,
+    evaluated SET-BASED like ivf_recall_at_k: never a per-query loop.
+
+    ADC works exactly as on a real serving tier: per query, an
+    m x k distance TABLE (query subvector vs every codebook centroid)
+    is computed once and broadcast; each corpus vector's approximate
+    distance is then the sum of m table LOOKUPS keyed by its code -
+    the corpus side touches only its m small ints, never the floats.
+
+    Determinism: both distance sides are strict-left-fold doubles; the
+    m-term ADC sum is decimal-cast (order-independent); every top-k
+    rank tie-breaks on the vector id.
+
+    Scale shape: the codebook and the q x m x k distance table
+    broadcast; the corpus codes table shuffles only for the per-query
+    top-k (partial per-partition heaps). The exact brute side - the
+    eval-only cost - is one corpus scan per evaluation, same as
+    ivf_recall_at_k.
+    """
+    subs, cents, assigned = _pq_train(df, m, sub_len, k, id_col, vec_col)
+    codes = assigned.select(id_col, "sub_id", "code")
+
+    queries = df.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qsubs = _pq_subvectors(queries, m, sub_len, "qid", "qvec")
+    dtab = qsubs.join(F.broadcast(cents), "sub_id").select(
+        "qid",
+        "sub_id",
+        F.col("cent_id").alias("code"),
+        _pq_sqdist(F.col("sv"), F.col("cv")).alias("qd"),
+    )
+
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(F.col("qd").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("adc_d")
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy("adc_d", id_col)
+    adck = (
+        adc.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") <= topk)
+        .select("qid", F.col(id_col).alias("_hit"))
+    )
+
+    wb = Window.partitionBy("qid").orderBy("_d", id_col)
+    brute = (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("_d", _pq_sqdist(F.col(vec_col), F.col("qvec")))
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= topk)
+        .select("qid", F.col(id_col).alias("_hit"))
+    )
+
+    return (
+        brute.alias("b")
+        .join(
+            adck.alias("a"),
+            (F.col("b.qid") == F.col("a.qid"))
+            & (F.col("b._hit") == F.col("a._hit")),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("query_id"))
+        .agg(
+            F.round(
+                F.count(F.col("a._hit")).cast("double") / F.lit(float(topk)), 6
+            ).alias("recall_at_k")
         )
     )

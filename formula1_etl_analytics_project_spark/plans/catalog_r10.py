@@ -495,8 +495,7 @@ _PQ_ASSIGN = """
   WHERE rn = 1
 """
 
-_PQ_SQL = f"""
-WITH subs AS (
+_PQ_CTES = f"""subs AS (
   SELECT vec_id, s.sub_id AS sub_id, s.sv AS sv
   FROM (SELECT vec_id,
           UNNEST([struct_pack(sub_id := 0, sv := embedding[1:16]),
@@ -524,7 +523,10 @@ WITH subs AS (
   FROM u1 GROUP BY sub_id, cell
 ), a2 AS (
   {_PQ_ASSIGN.format(d=_sql_sqdist('s.sv', 'c.cv'), cent='cent1')}
-)
+)"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CTES}
 SELECT vec_id,
        list(code ORDER BY sub_id) AS codes,
        ROUND(CAST(SUM(CAST(_d AS DECIMAL(38,12))) AS DOUBLE) / 64.0, 6)
@@ -560,3 +562,85 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return pq_encode(emb, m=4, sub_len=16, k=4)
+
+
+# ===========================================================================
+# PQ asymmetric-distance search recall (the ADC quality gate)
+# ===========================================================================
+
+_ADC_SQL = f"""
+WITH {_PQ_CTES},
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings WHERE vec_id % 200 = 0
+), qsubs AS (
+  SELECT qid, s.sub_id AS sub_id, s.sv AS sv
+  FROM (SELECT qid,
+          UNNEST([struct_pack(sub_id := 0, sv := qvec[1:16]),
+                  struct_pack(sub_id := 1, sv := qvec[17:32]),
+                  struct_pack(sub_id := 2, sv := qvec[33:48]),
+                  struct_pack(sub_id := 3, sv := qvec[49:64])]) AS s
+        FROM q)
+), dtab AS (
+  SELECT qs.qid, qs.sub_id, c.cent_id AS code,
+         {_sql_sqdist('qs.sv', 'c.cv')} AS qd
+  FROM qsubs qs JOIN cent1 c USING (sub_id)
+), adc AS (
+  SELECT d.qid, a.vec_id,
+         CAST(SUM(CAST(d.qd AS DECIMAL(38,12))) AS DOUBLE) AS adc_d
+  FROM a2 a JOIN dtab d ON a.sub_id = d.sub_id AND a.code = d.code
+  WHERE a.vec_id <> d.qid
+  GROUP BY d.qid, a.vec_id
+), adck AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY adc_d, vec_id) AS rn
+    FROM adc)
+  WHERE rn <= 10
+), brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_sqdist('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+  WHERE rn <= 10
+)
+SELECT b.qid AS query_id,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall_at_k
+FROM brute b
+LEFT JOIN adck a ON b.qid = a.qid AND b.vec_id = a.vec_id
+GROUP BY b.qid
+"""
+
+
+@_register(
+    "pq_adc_recall",
+    _ADC_SQL,
+    tags=("vector", "iterative"),
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search vs the exact
+    squared-L2 top-10, for the id % 200 == 0 query set - the serving-
+    time quality gate for `pq_codes` (ivf recall tunes nprobe; this
+    tunes m and k). The ADC trick is materialized exactly as a serving
+    tier would: one m x k distance table per query, broadcast, and the
+    corpus side sums m table lookups keyed by its codes - compressed
+    vectors are never reconstructed. Determinism and the 100 TB shape
+    on the operator docstring (operators/similarity.py pq_adc_recall).
+
+    Expected values, measured: the synthetic embeddings are isotropic
+    (no cluster structure - PQ's worst case), so recall@10 here is
+    0.0-0.2 (~10-40x the 10/N random baseline, swept at k=4/8/16/32
+    with no improvement) - which is precisely the decision this gate
+    exists to force: on THIS corpus you would keep IVF + int8 and
+    reject 4x16 PQ, exactly how the m/k trade-off is tuned against
+    clustered production embeddings.
+    """
+    from formula1_etl_analytics_project_spark.operators.similarity import (
+        pq_adc_recall,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return pq_adc_recall(emb, every=200, topk=10, m=4, sub_len=16, k=4)
