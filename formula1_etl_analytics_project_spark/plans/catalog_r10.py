@@ -387,7 +387,14 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature agg shuffles 16-byte digests, never chunk text. This is
     the chunk-store layout under storage dedup and the candidate
     generator for shift-robust near-dup at sub-document grain.
+    Chunker factored as operators/chunking.py content_defined_chunks;
+    the shift-robustness invariant is property-tested in
+    tests/test_cdc_chunking.py.
     """
+    from formula1_etl_analytics_project_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
     docs = read_table(spark, sf_dir, "documents", spread=True)
     normed = docs.select(
         "doc_id",
@@ -396,65 +403,8 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
         ).alias("toks"),
     )
-    pos = normed.select(
-        "doc_id",
-        "source",
-        F.size("toks").alias("n"),
-        F.col("toks"),
-        F.posexplode("toks").alias("p0", "tok"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("p0") + 1).alias("p"),
-        "tok",
-        F.when(
-            (F.col("p0") + 1 >= 5)
-            & (F.col("p0") + 1 < F.col("n"))
-            & (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("toks"), F.col("p0") - 3, 5),
-                                " ",
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _CDC_MOD
-                == 0
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("boundary"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = pos.withColumn(
-        "chunk_id", F.coalesce(F.sum("boundary").over(w), F.lit(0))
-    )
-    chunks = (
-        chunked.groupBy("doc_id", "source", "chunk_id")
-        .agg(
-            F.count("*").alias("chunk_len"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                )
-            ).alias("sig"),
-        )
+    chunks = content_defined_chunks(
+        normed, id_col="doc_id", toks_col="toks", mod=_CDC_MOD
     )
     return chunks.groupBy("source").agg(
         F.count("*").alias("n_chunks"),
