@@ -23,6 +23,8 @@ Importing this module registers everything into catalog.CATALOG.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from formula1_etl_analytics_project_spark.functions.text import (
@@ -594,3 +596,63 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return pq_adc_recall(emb, every=200, topk=10, m=4, sub_len=16, k=4)
+
+
+# ===========================================================================
+# ORC roundtrip scan (columnar-format interchange surface)
+# ===========================================================================
+
+_ORC_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@_register(
+    "orc_roundtrip_scan",
+    _ORC_SQL,
+    tags=("source", "sink"),
+)
+def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: stage the orders table to ORC
+    (snappy), then run the aggregate off the ORC SCAN - the oracle
+    reads the same rows from parquet, so a hash match proves the
+    write+read roundtrip is lossless for every column type it touches
+    (ints, decimals-as-doubles, strings, dates). ORC is Spark's
+    second native columnar format (Hive interchange); Avro is NOT
+    registered in this container (external spark-avro module, no
+    network), so the roundtrip surface is parquet + ORC + CSV + JSONL,
+    each oracle-checked.
+
+    The predicate and the two-column projection push into the ORC
+    reader exactly as with parquet (shown in .explain: PushedFilters
+    + ReadSchema on OrcScan) - format choice does not change the plan
+    shape. Staged per-process under _stage_dir's fingerprinted temp
+    path; the write runs once per session per testdata fingerprint.
+    At 100 TB this entry is the pattern for reading a lake that
+    arrives in mixed formats: declare the scan, let the source
+    push down, never convert-then-scan.
+    """
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+
+    stage = os.path.join(_stage_dir(sf_dir, "orcrt", "orders"), "orders_orc")
+    if not os.path.isdir(stage):
+        read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
+    orc = spark.read.orc(stage)
+    return (
+        orc.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -661,3 +661,13 @@ def test_pq_assignment_broadcasts_codebook(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark):
+    """Format interchange must not lose plan quality: the ORC scan gets
+    the same predicate pushdown + column pruning as parquet."""
+    plan = _plan(spark, "orc_roundtrip_scan")
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderstatus" in l for l in scan_lines)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderpriority" in read_schema and "o_comment" not in read_schema
