@@ -656,3 +656,151 @@ def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ===========================================================================
+# Deterministic epoch shuffle (global training permutation, no sort)
+# ===========================================================================
+
+_SHUF_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('epoch1|' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS shuffle_pos
+FROM documents
+"""
+
+
+@_register(
+    "epoch_shuffle_docs",
+    _SHUF_SQL,
+    tags=("sampling", "ml"),
+)
+def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data-loader global shuffle: every document gets a
+    dense position 1..N in a pseudorandom order that is a pure
+    function of (epoch, doc_id) - re-runnable, resumable mid-epoch,
+    and a NEW permutation per epoch by changing the salt. The order
+    key is md5('epoch1|'||id) with the id as tiebreak.
+
+    The scale point is HOW the rank is produced: not ROW_NUMBER over
+    an empty window (single-partition scale-killer) and not a global
+    sort, but `distributed_sequence` (operators/sequence.py) - range
+    exchange on the hash key, per-partition local ranks, k-row offset
+    table broadcast back. A 100 TB epoch shuffle is then exactly the
+    write pattern of a training shard store: range-partitioned by the
+    shuffle key, each shard internally ordered, offsets known without
+    any global coordination. The DuckDB oracle states the same
+    permutation as the naive global ROW_NUMBER, so the hash match
+    PROVES the distributed rank equals the single-node sort's answer.
+    """
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("epoch1|"), F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    )
+    return distributed_sequence(
+        keyed, ["_k", "doc_id"], "shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
+
+
+# ===========================================================================
+# Mixture resampling toward a uniform source target
+# ===========================================================================
+
+_POW60 = 1 << 60
+
+_MIX_RESAMPLE_SQL = f"""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT COUNT(*) AS n_t, COUNT(DISTINCT source) AS k FROM documents
+), flagged AS (
+  SELECT d.source, c.n_s, t.n_t, t.k,
+         CASE WHEN CAST(('0x' || substr(md5(
+                      'mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS DECIMAL(38,0)) * t.k * c.n_s
+              < CAST({_POW60} AS DECIMAL(38,0)) * t.n_t
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN cnt c USING (source) CROSS JOIN tot t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(LEAST(1.0, CAST(MIN(n_t) AS DOUBLE)
+                         / (MIN(k) * MIN(n_s))), 6) AS acceptance,
+       SUM(keep) AS n_kept
+FROM flagged
+GROUP BY source
+"""
+
+
+@_register(
+    "mixture_resample_docs",
+    _MIX_RESAMPLE_SQL,
+    tags=("sampling", "ml"),
+)
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling: downsample over-represented sources so the
+    kept corpus approaches a UNIFORM source mixture (the execution
+    half of `domain_mix_weights`, which only computes weights). Each
+    source's acceptance ratio is min(1, n_total / (k * n_s)); a doc
+    survives iff its md5-uniform u < ratio.
+
+    The accept test never touches floats: u is the md5 top-60-bits
+    integer, and u/2^60 < n_t/(k*n_s) is cross-multiplied into
+    DECIMAL(38,0) integer arithmetic (u*k*n_s < 2^60*n_t, max ~1e23,
+    far inside decimal range) - bit-exact in both engines, no
+    boundary-rounding hazard. Membership is a pure function of
+    doc_id, so the sample is reproducible and shard-stable (the same
+    property as `train_val_test_split` and `hash_sample_docs`).
+
+    Shape at 100 TB: pass 1 is one hash-agg to the k-row source-count
+    table; pass 2 re-scans with that table broadcast and filters
+    map-side - no shuffle of survivors at all until whatever comes
+    next. The reported acceptance column is the audit trail a
+    curation run logs next to the mixture target.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = docs.agg(
+        F.count("*").alias("n_t"),
+        F.countDistinct("source").alias("k"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = F.when(
+        u.cast("decimal(38,0)") * F.col("k") * F.col("n_s")
+        < F.lit(_POW60).cast("decimal(38,0)") * F.col("n_t"),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(cnt), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.min("n_t").cast("double")
+                    / (F.min("k") * F.min("n_s")).cast("double"),
+                ),
+                6,
+            ).alias("acceptance"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
