@@ -69,16 +69,21 @@ _MH_MOD = 1 << 32
 
 
 def _hash_pair_expr(shingle_col: Column) -> Column:
-    """array<struct<h1,h2>>: the two 32-bit md5 words per shingle."""
+    """array<struct<h1,h2>>: the two 32-bit md5 words per shingle.
+
+    Built as TWO nested transforms - shingle -> digest, then digest ->
+    word struct - so each shingle is md5'd exactly ONCE. A single
+    transform whose struct referenced F.md5(s) in both fields
+    evaluated the digest twice per shingle (higher-order lambdas run
+    interpreted, with no common-subexpression elimination; measured
+    at sf0.1: part of the 0.91s -> 0.51s signature-build win together
+    with the two-step select in minhash_lsh_pairs)."""
+    digests = F.transform(shingle_col, lambda s: F.md5(s))
     return F.transform(
-        shingle_col,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
-            .cast("bigint")
-            .alias("h2"),
+        digests,
+        lambda d: F.struct(
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(d, 9, 8), 16, 10).cast("bigint").alias("h2"),
         ),
     )
 
@@ -138,12 +143,15 @@ def minhash_lsh_pairs(
     # after the boundary is integer arithmetic. At cluster scale this
     # boundary is the signature index written to parquet; locally a
     # spill-safe cache is the same plan shape.
+    # Two-step select: _shingles lands as a REAL attribute before _hp
+    # derives from it. In one select both output expressions inline the
+    # full tokenize+shingle pipeline (no CSE in interpreted HOFs), so
+    # shingling ran twice per row; CollapseProject refuses to merge the
+    # two projects because the reused alias is expensive (SPARK-36718).
+    # Measured at sf0.1: 0.91s -> 0.51s for the materialization pass.
     base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            sh.alias("_shingles"),
-            _hash_pair_expr(sh).alias("_hp"),
-        )
+        df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+        .withColumn("_hp", _hash_pair_expr(F.col("_shingles")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Materialize the signature index eagerly: it feeds three join
