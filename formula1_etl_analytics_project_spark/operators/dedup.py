@@ -502,11 +502,26 @@ def simhash64(
     """
     if nbits > 32:
         raise ValueError("simhash64: nbits > 32 -> use simhash64_wide")
-    toks = word_tokens(text_col)
+    return _simhash_from_digests(
+        _word_digests(text_col), nbits=nbits, hex_offset=hex_offset
+    )
+
+
+def _word_digests(text_col: Column | str) -> Column:
+    """array<string>: one md5 hex digest per word token. The shared
+    input both 32-bit SimHash halves (and any future band scheme)
+    slice their bits from - tokenize and hash exactly once."""
+    return F.transform(word_tokens(text_col), lambda t: F.md5(t))
+
+
+def _simhash_from_digests(
+    digests: Column, nbits: int, hex_offset: int
+) -> Column:
+    """SimHash over pre-computed digest strings (see simhash64)."""
     hashes = F.transform(
-        toks,
-        lambda t: F.conv(
-            F.substring(F.md5(t), hex_offset, nbits // 4), 16, 10
+        digests,
+        lambda d: F.conv(
+            F.substring(d, hex_offset, nbits // 4), 16, 10
         ).cast("long"),
     )
     # One pass over the token hashes, accumulating all per-bit votes in
@@ -547,9 +562,21 @@ def simhash64_wide(text_col: Column | str) -> Column:
     bit is just bit 63. Hamming distance and band extraction work
     unchanged: ``bit_count(xor)`` is a 64-bit popcount, and band masks
     ``(sig >> k) & m`` are sign-safe because the mask discards the
-    sign-extended high bits."""
-    lo = simhash64(text_col, nbits=32, hex_offset=1)
-    hi = simhash64(text_col, nbits=32, hex_offset=9)
+    sign-extended high bits.
+
+    NB: as a single expression this tokenizes+hashes the text twice
+    (once per half - no CSE in interpreted HOFs). DataFrame-level
+    callers should stage ``_word_digests`` as its own column first and
+    use :func:`simhash64_wide_from_digests` (what simhash_pairs does),
+    which runs the md5 pass once."""
+    dig = _word_digests(text_col)
+    return simhash64_wide_from_digests(dig)
+
+
+def simhash64_wide_from_digests(digests: Column) -> Column:
+    """64-bit SimHash from a pre-staged digest array column."""
+    lo = _simhash_from_digests(digests, nbits=32, hex_offset=1)
+    hi = _simhash_from_digests(digests, nbits=32, hex_offset=9)
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
@@ -572,12 +599,22 @@ def simhash_pairs(
             f"banding needs nbits/band_bits > max_hamming for exactness "
             f"(got {nbands} bands, max_hamming={max_hamming})"
         )
+    # Stage the md5 digest array as a real attribute, then derive the
+    # signature from it: for the 64-bit form both halves reference the
+    # digests, and CollapseProject keeps the expensive reused alias
+    # un-inlined (SPARK-36718) - tokenize+md5 run ONCE instead of
+    # twice (same fix as the minhash base build).
     sig_expr = (
-        simhash64_wide(text_col) if nbits == 64 else simhash64(text_col, nbits)
+        simhash64_wide_from_digests(F.col("_dig"))
+        if nbits == 64
+        else _simhash_from_digests(F.col("_dig"), nbits, hex_offset=1)
     )
-    sig = df.select(
-        F.col(id_col).alias("_id"), sig_expr.alias("_sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = (
+        df.select(F.col(id_col).alias("_id"), _word_digests(text_col).alias("_dig"))
+        .withColumn("_sig", sig_expr)
+        .select("_id", "_sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig.count()  # eager: banding + pair join both read it (see minhash note)
     band_exprs = [
         F.concat_ws(
