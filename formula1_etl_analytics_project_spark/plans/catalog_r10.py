@@ -804,3 +804,58 @@ def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").alias("n_kept"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H Q8 shape: national market share (identical SQL both engines)
+# ===========================================================================
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2'
+                           THEN CAST(volume AS DECIMAL(30,6))
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+) v
+GROUP BY o_year
+"""
+
+
+@_register("sql_surface_q8", _Q8_SQL, tags=("sql", "join", "agg"))
+def q_sql_surface_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the
+    suite - lineitem against SEVEN dimension sides (part, orders,
+    customer, nation x2 with distinct roles, region, supplier) - with
+    a conditional-aggregate ratio on top. Identical SQL text runs in
+    both engines (register_views + spark.sql), so what is graded here
+    is the OPTIMIZER: Catalyst must push the p_type/r_name/date
+    predicates below the joins, prune every unused dimension column,
+    pick broadcast sides for the bounded dims, and order the 8-way
+    join so lineitem is never shuffled more than once (AQE re-plans
+    from runtime sizes at scale). The share-vs-total division uses
+    the one-pass conditional-aggregate form (no self-join, no second
+    scan), decimal-cast per the portability rules, grouped by year.
+    """
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)

@@ -671,3 +671,14 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark):
     assert any("o_orderstatus" in l for l in scan_lines)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "o_orderpriority" in read_schema and "o_comment" not in read_schema
+
+
+def test_q8_pushes_dim_predicates_below_joins(spark):
+    """TPC-H Q8: the p_type and r_name predicates must reach their
+    dimension scans (not filter post-join), and the bounded dims must
+    broadcast - lineitem shuffles at most once in the 8-way join."""
+    plan = _plan(spark, "sql_surface_q8")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed)
+    assert any("r_name" in l for l in pushed)
+    assert plan.count("BroadcastHashJoin") >= 5
