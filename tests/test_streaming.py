@@ -142,3 +142,71 @@ def test_incremental_upsert_stream_inplace_layout(
     q.awaitTermination()
     merged = spark.read.parquet(snap)
     assert merged.count() == spark.read.parquet(event_dir).count()
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path_factory):
+    """The watermark CONTRACT, not just its syntax: after the
+    watermark has advanced past a window, a late row for that window
+    must be discarded (append mode) - the state-eviction property
+    that bounds memory on an unbounded stream. Two file-source
+    micro-batches make it deterministic: batch 1 advances the
+    watermark to max(ts) - 1h; batch 2's straggler lands 10 hours
+    before that and must not appear in the emitted counts."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("late_events"))
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [
+        (i, base + dt.timedelta(hours=h, minutes=5), 100 + i, "click", 1.0)
+        for i, h in enumerate([0, 0, 1, 12])
+    ]
+    spark.createDataFrame(
+        rows1, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.parquet(f"{path}/b1")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark -> 12:05 - 1h = 11:05
+
+    # straggler at 01:10 - far behind the 11:05 watermark, its window
+    # (01:00) is already finalized and its state evicted
+    late = [(99, base + dt.timedelta(hours=1, minutes=10), 999, "click", 1.0)]
+    spark.createDataFrame(
+        late, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.parquet(f"{path}/b2")
+    q.processAllAvailable()
+    # one more empty-ish pass lets the final window (12:00) emit
+    spark.createDataFrame(
+        [(100, base + dt.timedelta(hours=20), 1, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).coalesce(1).write.parquet(f"{path}/b3")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    h0 = base
+    h1 = base + dt.timedelta(hours=1)
+    # hour-0 window: both on-time rows, emitted once finalized
+    assert got.get((h0, "click")) == 2
+    # hour-1 window: ONLY the on-time row - the straggler was dropped
+    assert got.get((h1, "click")) == 1
