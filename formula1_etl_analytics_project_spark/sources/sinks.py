@@ -215,18 +215,29 @@ def write_jdbc(
     batch_size: int = 10_000,
     num_partitions: int | None = None,
     properties: dict[str, str] | None = None,
+    create_table_column_types: str | None = None,
 ) -> None:
     """JDBC sink - the batch replacement for the reference's
     one-INSERT-per-row ``MsSqlOperator`` loop (driver_etl.py:87-96).
 
     Executors write concurrently with ``batchsize``-row prepared-
     statement batches; ``num_partitions`` caps the number of concurrent
-    connections. The terminal ``.jdbc()`` call is unexecutable in this
-    container (no JDBC driver/DB); everything up to it is built by
-    :func:`prepare_jdbc_write` and unit-tested construction-only.
+    connections. ``create_table_column_types`` overrides the default
+    SQL types on CREATE (e.g. ``"tag VARCHAR(64)"`` - Spark's default
+    StringType mapping is CLOB/TEXT on several dialects, which some
+    engines cannot compare or index).
+
+    Executed end-to-end in tests/test_jdbc_derby.py against embedded
+    Derby (the in-JVM database Spark ships) - batch write, commit,
+    read-back; no external DB needed.
     """
     writer_df, props = prepare_jdbc_write(df, batch_size, num_partitions, properties)
-    writer_df.write.jdbc(url=url, table=table, mode=mode, properties=props)
+    writer = writer_df.write
+    if create_table_column_types:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
+    writer.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
 def prepare_jdbc_write(
