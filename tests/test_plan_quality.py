@@ -682,3 +682,26 @@ def test_q8_pushes_dim_predicates_below_joins(spark):
     assert any("p_type" in l for l in pushed)
     assert any("r_name" in l for l in pushed)
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must shrink the 32 configured shuffle partitions down to a
+    handful when the data is small - the runtime re-plan this engine
+    leans on instead of hand-tuning spark.sql.shuffle.partitions per
+    query. Asserted on the EXECUTED plan (AQE decisions only exist
+    after runtime stats)."""
+    from pyspark.sql import functions as F
+
+    from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+    df = (
+        read_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan
