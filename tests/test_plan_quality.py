@@ -634,8 +634,9 @@ def test_boilerplate_count_shuffles_hashed_keys(spark):
     ]
     assert agg_key_lines, "grouped count must key on the hashed gk"
     assert not any("gram" in l for l in agg_key_lines)
-    # per-source top-5 via row_number window after the key-grouped agg
-    assert "RunningWindowFunction" in plan or "Window" in plan
+    # per-source top-5: the rank filter pushes into WindowGroupLimit,
+    # so each partition keeps only its top rows before the final sort
+    assert "WindowGroupLimit" in plan
 
 
 def test_cdc_chunk_window_partitions_by_doc(spark):
