@@ -62,3 +62,32 @@ def test_plans_import_is_filesystem_side_effect_free():
         [sys.executable, "-c", code], check=True, cwd="/root/repo",
         timeout=120,
     )
+
+
+def test_star_loads_into_jdbc_database(spark, etl_out, tmp_path_factory):
+    """The reference's EP1 DESTINATION, executed for real: load star
+    tables into a relational DB over JDBC (embedded Derby stands in
+    for MSSQL - same batched-prepared-statement path, in-JVM) in the
+    reference's FK-safe order, then verify referential integrity with
+    SQL *inside the database*, the role the reference delegated to
+    MSSQL FK constraints (DDL Final.sql)."""
+    from formula1_etl_analytics_project_spark.sources.sinks import write_jdbc
+
+    out, counts = etl_out
+    url = f"jdbc:derby:{tmp_path_factory.mktemp('derby_star')}/stardb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    for t in ("race", "driver", "results"):  # dims -> fact, FK order
+        write_jdbc(
+            spark.read.parquet(f"{out}/{t}"), url, t,
+            mode="overwrite", batch_size=256, properties=props,
+        )
+    race = spark.read.jdbc(url=url, table="race", properties=props)
+    results = spark.read.jdbc(url=url, table="results", properties=props)
+    assert race.count() == counts["race"]
+    assert results.count() == counts["results"]
+    # integrity anti-join evaluated over the DB-loaded tables: every
+    # fact row resolves its race FK (what MSSQL's constraint enforced)
+    orphans = results.join(
+        race, results.raceId == race.race_id, "left_anti"
+    ).count()
+    assert orphans == 0
