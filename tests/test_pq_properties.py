@@ -83,3 +83,31 @@ def test_epoch_shuffle_is_a_permutation_and_deterministic(spark):
     assert positions == list(range(1, len(a) + 1))  # dense 1..N
     b = fn(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # re-runnable
+
+
+def test_distributed_sequence_invariant_to_partition_count(spark):
+    """The rank must be a pure function of the ORDER, not of the
+    physical partitioning - the driver's harness may run at any
+    parallelism and the epoch-shuffle / Gini / surrogate-key entries
+    all sit on this operator."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
+    df = _vectors(spark, n=200, dim=2, seed=3).select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("k")
+    )
+    a = {
+        r["vec_id"]: r["pos"]
+        for r in distributed_sequence(
+            df, ["k", "vec_id"], "pos", num_partitions=3
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["pos"]
+        for r in distributed_sequence(
+            df.repartition(17), ["k", "vec_id"], "pos", num_partitions=11
+        ).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 201))
