@@ -316,12 +316,33 @@ def _pointer_path(path: str) -> str:
 
 def read_current_version(path: str) -> str | None:
     """Name of the live snapshot version (e.g. ``_v00000003``), or None
-    for an empty store."""
+    for an empty store. The pointer line may carry an ``epoch=N``
+    suffix (see :func:`read_current_epoch`); only the first token is
+    the version."""
     try:
         with open(_pointer_path(path)) as f:
-            return f.read().strip() or None
+            line = f.read().strip()
+            return line.split()[0] if line else None
     except (FileNotFoundError, NotADirectoryError):
         return None
+
+
+def read_current_epoch(path: str) -> int | None:
+    """Streaming epoch committed WITH the live snapshot (the
+    ``epoch=N`` token of the pointer line), or None if the store is
+    empty / was never written by an epoch-tagged merge. Because the
+    pointer is replaced atomically, the epoch and the snapshot it
+    describes can never be observed out of sync - this is what makes
+    foreachBatch replay EXACTLY-once (see incremental_upsert_stream).
+    """
+    try:
+        with open(_pointer_path(path)) as f:
+            for tok in f.read().strip().split():
+                if tok.startswith("epoch="):
+                    return int(tok[len("epoch="):])
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return None
+    return None
 
 
 def read_snapshot(spark, path: str) -> DataFrame:
@@ -351,7 +372,7 @@ def _write_new_version(
     return version
 
 
-def _repoint(path: str, version: str) -> None:
+def _repoint(path: str, version: str, epoch_id: int | None = None) -> None:
     """Step 2 of the swap: atomically flip the ``_current`` pointer.
 
     Local/POSIX ``os.replace`` is an atomic overwrite, so a reader sees
@@ -365,7 +386,7 @@ def _repoint(path: str, version: str) -> None:
 
     tmp = _pp_join_safe(path, f"._current_tmp_{_uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as f:
-        f.write(version + "\n")
+        f.write(version + (f" epoch={epoch_id}" if epoch_id is not None else "") + "\n")
         f.flush()
         _os.fsync(f.fileno())
     _os.replace(tmp, _pointer_path(path))
@@ -399,6 +420,7 @@ def upsert_parquet_versioned(
     path: str,
     keys: list[str],
     order_col: str | None = None,
+    epoch_id: int | None = None,
 ) -> DataFrame:
     """Crash-safe merge-on-key onto a versioned parquet snapshot store.
 
@@ -422,6 +444,12 @@ def upsert_parquet_versioned(
 
     Each snapshot stays plain parquet - any engine can read
     ``path/<version>`` directly after resolving the one-line pointer.
+
+    ``epoch_id`` (streaming callers) rides in the pointer line and
+    commits atomically with the flip; replayed micro-batches are then
+    detectable via :func:`read_current_epoch` BEFORE re-merging -
+    exactly-once for the single-writer streaming upsert even when the
+    merge itself is not idempotent.
     """
     current = read_current_version(path)
     if current is None:
@@ -433,7 +461,7 @@ def upsert_parquet_versioned(
         existing = read_snapshot(spark, path)
         merged = upsert(existing, incoming, keys, order_col=order_col)
     version = _write_new_version(spark, merged, path, current)
-    _repoint(path, version)
+    _repoint(path, version, epoch_id)
     keep = (version, current) if current else (version,)
     _prune_versions(path, keep)
     return read_snapshot(spark, path)

@@ -36,6 +36,7 @@ from formula1_etl_analytics_project_spark.schemas import TESTDATA_SCHEMAS
 from formula1_etl_analytics_project_spark.sources.sinks import (
     upsert_parquet,
     upsert_parquet_versioned,
+    read_current_epoch,
 )
 
 
@@ -206,20 +207,23 @@ def incremental_upsert_stream(
     ``sinks.upsert_parquet_versioned`` - write-new-then-repoint, atomic
     pointer flip - so readers through ``sinks.read_snapshot`` NEVER see
     a missing or partial snapshot, even if the job dies mid-batch; a
-    replayed interrupted batch simply re-merges (idempotent per key:
-    same keys, same values -> same snapshot). ``versioned=False`` keeps
-    the legacy in-place layout (directly ``spark.read``-able at
-    ``snapshot_path``) at the cost of the delete/rename window - per-key
-    at-least-once. Exactly-once with concurrent multi-writer commit
-    needs a transactional table format (Delta/Iceberg MERGE); both
-    shapes here are its single-writer logical twin."""
+    replayed interrupted batch is SKIPPED entirely: the micro-batch
+    epoch id commits atomically with the pointer flip, and
+    ``merge_epoch_batch`` compares the incoming epoch against the
+    committed one before touching anything - EXACTLY-once for this
+    single-writer sink, even for non-idempotent merges (tested by
+    tests/test_streaming.py::test_replayed_epoch_is_skipped).
+    ``versioned=False`` keeps the legacy in-place layout (directly
+    ``spark.read``-able at ``snapshot_path``) at the cost of the
+    delete/rename window - per-key at-least-once. Concurrent
+    multi-writer commit still needs a transactional table format
+    (Delta/Iceberg MERGE); this store is its single-writer logical
+    twin."""
     keys = keys or ["event_id"]
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if versioned:
-            upsert_parquet_versioned(
-                batch.sparkSession, batch, snapshot_path, keys
-            )
+            merge_epoch_batch(batch, epoch_id, snapshot_path, keys)
         else:
             upsert_parquet(batch.sparkSession, batch, snapshot_path, keys)
 
@@ -229,6 +233,26 @@ def incremental_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_epoch_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    snapshot_path: str,
+    keys: list[str],
+) -> bool:
+    """One exactly-once foreachBatch merge: skip if ``epoch_id`` was
+    already committed (checkpoint replay after a crash BETWEEN the
+    snapshot commit and the streaming checkpoint advance), else merge
+    and commit the epoch atomically with the snapshot pointer.
+    Returns True when the batch was applied, False when skipped."""
+    committed = read_current_epoch(snapshot_path)
+    if committed is not None and epoch_id <= committed:
+        return False
+    upsert_parquet_versioned(
+        batch.sparkSession, batch, snapshot_path, keys, epoch_id=epoch_id
+    )
+    return True
 
 
 def stream_stream_user_pairs(

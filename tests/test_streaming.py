@@ -210,3 +210,36 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path_factory):
     assert got.get((h0, "click")) == 2
     # hour-1 window: ONLY the on-time row - the straggler was dropped
     assert got.get((h1, "click")) == 1
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path_factory):
+    """Exactly-once contract of the versioned streaming upsert: a
+    micro-batch replayed with an already-committed epoch id (crash
+    between snapshot commit and checkpoint advance) must be a no-op,
+    even when its contents differ - the snapshot is the one the first
+    commit produced, and the epoch survives in the pointer."""
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        read_current_epoch,
+        read_snapshot,
+    )
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        merge_epoch_batch,
+    )
+
+    path = str(tmp_path_factory.mktemp("eo_snap") / "store")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert merge_epoch_batch(b0, 0, path, ["k"]) is True
+    assert read_current_epoch(path) == 0
+
+    # replay of epoch 0 with MUTATED content (worst case) -> skipped
+    b0_replay = spark.createDataFrame([(1, "CORRUPT")], "k long, v string")
+    assert merge_epoch_batch(b0_replay, 0, path, ["k"]) is False
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {1: "a", 2: "b"}
+
+    # next epoch applies normally
+    b1 = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    assert merge_epoch_batch(b1, 1, path, ["k"]) is True
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+    assert read_current_epoch(path) == 1
