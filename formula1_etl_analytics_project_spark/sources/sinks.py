@@ -614,3 +614,126 @@ def compact_parquet(
     fs.delete(Path(path), True)
     fs.rename(Path(staging), Path(path))
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Commit-log snapshot store: optimistic concurrency on plain parquet
+# ---------------------------------------------------------------------------
+
+_LOG_DIR = "_log"
+
+
+def _log_path(path: str) -> str:
+    return _pp_join_safe(path, _LOG_DIR)
+
+
+def read_committed(path: str) -> tuple[int, str] | None:
+    """Latest committed (commit number, snapshot dir name) from the
+    commit log, or None for an empty store. The log is the source of
+    truth: a data dir without a commit file does not exist."""
+    import os as _os
+
+    try:
+        names = _os.listdir(_log_path(path))
+    except FileNotFoundError:
+        return None
+    commits = sorted(n for n in names if n.endswith(".commit"))
+    if not commits:
+        return None
+    latest = commits[-1]
+    with open(_pp_join_safe(_log_path(path), latest)) as f:
+        return int(latest.split(".")[0]), f.read().strip()
+
+
+def read_committed_snapshot(spark, path: str) -> DataFrame:
+    committed = read_committed(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(_pp_join_safe(path, committed[1]))
+
+
+def commit_log_upsert(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+    max_retries: int = 8,
+) -> int:
+    """Merge-on-key with OPTIMISTIC CONCURRENCY - the multi-writer
+    upsert the pointer store (:func:`upsert_parquet_versioned`,
+    single-writer by contract) cannot provide, and the plain-parquet
+    logical twin of a Delta/Iceberg transactional MERGE:
+
+      1. read the latest commit N from ``path/_log/`` and merge
+         against its snapshot;
+      2. write the merged snapshot under a WRITER-UNIQUE dir (uuid
+         suffix - two racing writers never collide on data files);
+      3. try to claim commit N+1 by creating ``_log/<N+1>.commit``
+         with O_CREAT|O_EXCL - an ATOMIC exclusive create. Exactly one
+         racer wins; the loser deletes its orphan snapshot, re-reads,
+         RE-MERGES against the winner's result, and retries.
+
+    Lost updates are impossible: a commit is only ever created against
+    the snapshot it merged (the exclusive create fails if anyone
+    committed in between) - proven by the genuinely-concurrent
+    two-writer test (tests/test_commit_log.py), which the pointer
+    store fails by design. Returns the commit number claimed.
+
+    Durability/portability: O_EXCL-create is atomic on POSIX and on
+    HDFS (createFile without overwrite); on S3 it maps to conditional
+    PUT (If-None-Match) - the same primitive Delta's commit protocol
+    uses there. Crash windows: before the claim -> an orphan
+    underscore-prefixed data dir invisible to readers (pruned by later
+    winners); after the claim -> the commit is complete; there is no
+    in-between because the claim IS one filesystem operation.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    for _ in range(max_retries):
+        committed = read_committed(path)
+        if committed is None:
+            _os.makedirs(_log_path(path), exist_ok=True)
+            base_n, merged = 0, incoming
+        else:
+            base_n = committed[0]
+            existing = spark.read.parquet(
+                _pp_join_safe(path, committed[1])
+            )
+            merged = upsert(existing, incoming, keys, order_col=order_col)
+        next_n = base_n + 1
+        snap_dir = f"_snap_{next_n:08d}_{_uuid.uuid4().hex[:8]}"
+        write_parquet(merged, _pp_join_safe(path, snap_dir), mode="overwrite")
+        claim = _pp_join_safe(_log_path(path), f"{next_n:08d}.commit")
+        try:
+            fd = _os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            # lost the race: drop our snapshot, re-merge against winner
+            _shutil.rmtree(
+                _pp_join_safe(path, snap_dir), ignore_errors=True
+            )
+            continue
+        try:
+            _os.write(fd, (snap_dir + "\n").encode())
+            _os.fsync(fd)
+        finally:
+            _os.close(fd)
+        # prune snapshots older than previous (keep winner + previous
+        # for in-flight readers), plus orphans from crashed losers
+        keep_dirs = {snap_dir}
+        if committed is not None:
+            keep_dirs.add(committed[1])
+        for name in _os.listdir(path):
+            if name.startswith("_snap_") and name not in keep_dirs:
+                n_part = name.split("_")[2]
+                if n_part.isdigit() and int(n_part) < base_n:
+                    _shutil.rmtree(
+                        _pp_join_safe(path, name), ignore_errors=True
+                    )
+        return next_n
+    raise RuntimeError(
+        f"commit_log_upsert lost the commit race {max_retries} times "
+        f"under {path}; raise max_retries or reduce writer contention"
+    )

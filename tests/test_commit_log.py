@@ -1,0 +1,86 @@
+"""Tests for the commit-log snapshot store (sources/sinks.py
+commit_log_upsert): optimistic concurrency on plain parquet.
+
+The two-writer test is GENUINELY concurrent (threads merging
+interleaved batches against the same store) and asserts no lost
+updates - the anomaly a last-write-wins pointer store cannot prevent
+and the reason transactional table formats exist.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from formula1_etl_analytics_project_spark.sources.sinks import (
+    commit_log_upsert,
+    read_committed,
+    read_committed_snapshot,
+)
+
+
+def test_commit_log_basic_merge(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("clog") / "store")
+    n1 = commit_log_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path,
+        ["k"],
+    )
+    assert n1 == 1
+    n2 = commit_log_upsert(
+        spark,
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"),
+        path,
+        ["k"],
+    )
+    assert n2 == 2
+    snap = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+    assert read_committed(path)[0] == 2
+
+
+def test_concurrent_writers_lose_no_updates(spark, tmp_path_factory):
+    """Two writers race 5 commits each over disjoint key ranges; every
+    one of the 10 batches must survive in the final snapshot. A
+    pointer store would interleave read-merge-swap and silently drop
+    whole batches."""
+    path = str(tmp_path_factory.mktemp("clog_mw") / "store")
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(5):
+                batch = spark.createDataFrame(
+                    [(offset + i, f"w{offset}_{i}")], "k long, v string"
+                )
+                commit_log_upsert(spark, batch, path, ["k"], max_retries=30)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    snap = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
+    expected = {100 + i: f"w100_{i}" for i in range(5)}
+    expected.update({200 + i: f"w200_{i}" for i in range(5)})
+    assert snap == expected
+    # exactly 10 commits happened - one per applied batch
+    assert read_committed(path)[0] == 10
+
+
+def test_loser_orphans_are_invisible_and_pruned(spark, tmp_path_factory):
+    """Underscore-prefixed loser/orphan snapshot dirs must never be
+    visible through the committed read path."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("clog_orph") / "store")
+    commit_log_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"]
+    )
+    # simulate a crashed loser: stranded data dir with no commit file
+    os.makedirs(f"{path}/_snap_00000099_deadbeef", exist_ok=True)
+    snap = read_committed_snapshot(spark, path)
+    assert snap.count() == 1
+    assert read_committed(path)[0] == 1
