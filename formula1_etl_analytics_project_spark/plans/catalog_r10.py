@@ -859,3 +859,73 @@ def q_sql_surface_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q8_SQL)
+
+
+# ===========================================================================
+# Commit-log transactional upsert through the oracle gate
+# ===========================================================================
+
+_COMMITLOG_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 400 = 0
+                          THEN o_totalprice + 9000
+                          WHEN o_orderkey % 400 = 7
+                          THEN o_totalprice - 1000
+                          ELSE o_totalprice END AS DECIMAL(30,4)))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@_register(
+    "upsert_commitlog_orders",
+    _COMMITLOG_SQL,
+    tags=("sink", "merge"),
+)
+def q_upsert_commitlog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimistic-concurrency commit-log store through a real
+    three-commit round-trip: base orders claim commit 1, then two
+    UPDATE batches (every 400th key +9000; every 400k+7th key -1000)
+    merge as commits 2 and 3 - each claimed by an atomic O_EXCL
+    commit-file create, the mechanism that makes concurrent writers
+    lost-update-free (see sources/sinks.py commit_log_upsert and the
+    two-writer race test in tests/test_commit_log.py). The final
+    per-status totals read through read_committed_snapshot must equal
+    the oracle's base-plus-both-updates restatement - proving the log
+    resolution, snapshot isolation, and merge semantics end-to-end
+    on plain parquet, the container's stand-in for a Delta/Iceberg
+    transactional MERGE.
+    """
+    import shutil as _shutil
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        commit_log_upsert,
+        read_committed_snapshot,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    store = os.path.join(_stage_dir(sf_dir, "commitlog", "orders"), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    commit_log_upsert(spark, orders, store, keys=["o_orderkey"])
+    up1 = orders.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 9000
+    )
+    commit_log_upsert(spark, up1, store, keys=["o_orderkey"])
+    up2 = orders.filter(F.col("o_orderkey") % 400 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") - 1000
+    )
+    commit_log_upsert(spark, up2, store, keys=["o_orderkey"])
+    snap = read_committed_snapshot(spark, store)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
