@@ -645,11 +645,37 @@ def read_committed(path: str) -> tuple[int, str] | None:
         return int(latest.split(".")[0]), f.read().strip()
 
 
-def read_committed_snapshot(spark, path: str) -> DataFrame:
-    committed = read_committed(path)
-    if committed is None:
-        raise FileNotFoundError(f"no committed snapshot under {path}")
-    return spark.read.parquet(_pp_join_safe(path, committed[1]))
+def read_committed_snapshot(
+    spark, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest committed snapshot, or - time travel - the
+    snapshot as of commit ``version``. Every commit file names its
+    immutable snapshot dir, so any still-retained version is readable
+    by number (Delta's ``VERSION AS OF`` twin; retention is bounded by
+    the prune policy: current + previous are always kept, older
+    versions only until the next successful commit)."""
+    import os as _os
+
+    if version is None:
+        committed = read_committed(path)
+        if committed is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+        return spark.read.parquet(_pp_join_safe(path, committed[1]))
+    claim = _pp_join_safe(_log_path(path), f"{version:08d}.commit")
+    try:
+        with open(claim) as f:
+            snap_dir = f.read().strip()
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"commit {version} does not exist under {path}"
+        ) from None
+    full = _pp_join_safe(path, snap_dir)
+    if not _os.path.isdir(full):
+        raise FileNotFoundError(
+            f"commit {version} exists but its snapshot {snap_dir} was "
+            f"pruned by the retention policy"
+        )
+    return spark.read.parquet(full)
 
 
 def commit_log_upsert(

@@ -84,3 +84,23 @@ def test_loser_orphans_are_invisible_and_pruned(spark, tmp_path_factory):
     snap = read_committed_snapshot(spark, path)
     assert snap.count() == 1
     assert read_committed(path)[0] == 1
+
+
+def test_time_travel_reads_prior_versions(spark, tmp_path_factory):
+    """VERSION AS OF over the commit log: retained versions are
+    readable by commit number; pruned ones fail loudly, never
+    silently wrong."""
+    import pytest as _pytest
+
+    path = str(tmp_path_factory.mktemp("clog_tt") / "store")
+    commit_log_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"]
+    )
+    commit_log_upsert(
+        spark, spark.createDataFrame([(1, "a2")], "k long, v string"), path, ["k"]
+    )
+    v1 = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path, version=1).collect()}
+    v2 = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path, version=2).collect()}
+    assert v1 == {1: "a"} and v2 == {1: "a2"}
+    with _pytest.raises(FileNotFoundError):
+        read_committed_snapshot(spark, path, version=99)
