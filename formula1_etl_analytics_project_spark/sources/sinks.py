@@ -99,6 +99,7 @@ def upsert(
     incoming: DataFrame,
     keys: list[str],
     order_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Merge-on-key: incoming rows win; existing rows survive only when
     their key is absent from incoming. Logical twin of SQL MERGE
@@ -112,7 +113,25 @@ def upsert(
     provide key-unique batches - duplicate incoming keys would
     otherwise all survive the union and corrupt the snapshot's key
     invariant.
+
+    ``evolve_schema`` (Delta ``mergeSchema`` twin): columns that exist
+    on only one side surface on the merged output with NULLs for the
+    other side's rows - the append-only corpus-growth pattern where
+    new metadata columns appear mid-stream and rewriting history is
+    not an option. Off by default: silent schema drift in a strict
+    pipeline should fail loudly, not widen the table.
     """
+    if evolve_schema:
+        for c in incoming.columns:
+            if c not in existing.columns:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(incoming.schema[c].dataType)
+                )
+        for c in existing.columns:
+            if c not in incoming.columns:
+                incoming = incoming.withColumn(
+                    c, F.lit(None).cast(existing.schema[c].dataType)
+                )
     if order_col is not None:
         from pyspark.sql import Window
 

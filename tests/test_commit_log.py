@@ -104,3 +104,22 @@ def test_time_travel_reads_prior_versions(spark, tmp_path_factory):
     assert v1 == {1: "a"} and v2 == {1: "a2"}
     with _pytest.raises(FileNotFoundError):
         read_committed_snapshot(spark, path, version=99)
+
+
+def test_upsert_schema_evolution(spark):
+    """mergeSchema twin on the merge path: a new incoming column
+    surfaces with NULLs for pre-existing rows; a dropped column
+    survives with NULLs for incoming rows; strict mode still fails."""
+    import pytest as _pytest
+
+    from formula1_etl_analytics_project_spark.sources.sinks import upsert
+
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    incoming = spark.createDataFrame(
+        [(2, "b2", 0.9)], "k long, v string, score double"
+    )
+    merged = upsert(existing, incoming, ["k"], evolve_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 0.9)}
+    with _pytest.raises(Exception):
+        upsert(existing, incoming, ["k"]).collect()  # strict: loud failure
