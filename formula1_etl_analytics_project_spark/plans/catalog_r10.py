@@ -929,3 +929,84 @@ def q_upsert_commitlog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ===========================================================================
+# Time-travel version diff over the commit-log store
+# ===========================================================================
+
+_TT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 250 = 0 THEN o_totalprice + 7000
+              ELSE o_totalprice END AS o_totalprice,
+         (o_orderkey % 250 = 0) AS changed
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed,
+       CAST(SUM(CAST(CASE WHEN changed THEN 7000.0 ELSE 0.0 END
+                     AS DECIMAL(30,4))) AS DOUBLE) AS total_delta
+FROM v2
+"""
+
+
+@_register(
+    "time_travel_diff",
+    _TT_DIFF_SQL,
+    tags=("sink", "merge", "audit"),
+)
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version audit via TIME TRAVEL: commit base orders,
+    commit an update batch (+7000 on every 250th key), then read BOTH
+    versions back by commit number (read_committed_snapshot(version=))
+    and diff them key-by-key - row count, changed-row count, and the
+    exact total price delta. This is the backfill-audit question
+    ("what did yesterday's load change?") answered from the store's
+    own history, no external before-image needed - the reason
+    time-travel exists in table formats. The oracle restates the
+    expected diff directly from the base table.
+
+    Shape: the diff is one key-equi join of two immutable snapshots,
+    decimal-exact delta aggregation; at 100 TB both sides prune to
+    touched partitions first (compose with the partitioned upsert).
+    """
+    import shutil as _shutil
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        commit_log_upsert,
+        read_committed_snapshot,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store = os.path.join(_stage_dir(sf_dir, "ttdiff", "orders"), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    commit_log_upsert(spark, orders, store, keys=["o_orderkey"])
+    upd = orders.filter(F.col("o_orderkey") % 250 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7000
+    )
+    commit_log_upsert(spark, upd, store, keys=["o_orderkey"])
+
+    v1 = read_committed_snapshot(spark, store, version=1).select(
+        "o_orderkey", F.col("o_totalprice").alias("p1")
+    )
+    v2 = read_committed_snapshot(spark, store, version=2).select(
+        "o_orderkey", F.col("o_totalprice").alias("p2")
+    )
+    diff = v1.join(v2, "o_orderkey")
+    return diff.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("p1") != F.col("p2"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(
+            (F.col("p2") - F.col("p1")).cast("decimal(30,4)")
+        )
+        .cast("double")
+        .alias("total_delta"),
+    )
