@@ -1010,3 +1010,80 @@ def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_delta"),
     )
+
+
+# ===========================================================================
+# Exactly-once replay semantics through the oracle gate
+# ===========================================================================
+
+_EO_SQL = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 350 = 0 THEN o_totalprice + 4000
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price,
+       CAST(2 AS BIGINT) AS n_applied,
+       CAST(1 AS BIGINT) AS n_skipped
+FROM merged
+"""
+
+
+@_register(
+    "stream_exactly_once_gate",
+    _EO_SQL,
+    tags=("streaming", "sink", "merge"),
+)
+def q_stream_exactly_once_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once replay CONTRACT under the hash gate: epoch 0
+    seeds the snapshot, epoch 1 applies an update batch (+4000 on
+    every 350th key), then epoch 1 is REPLAYED with corrupted contents
+    (every price zeroed) - the crash-recovery scenario where the
+    foreachBatch checkpoint lags the sink commit. merge_epoch_batch
+    must skip the replay (epoch already committed atomically with the
+    snapshot pointer), so the final totals equal base-plus-one-update
+    and the corrupted replay leaves NO trace. The oracle restates the
+    expected final state plus the applied/skipped ledger; any
+    double-apply or corruption flips the value hash.
+    """
+    import shutil as _shutil
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        read_snapshot,
+    )
+    from formula1_etl_analytics_project_spark.streaming.pipeline import (
+        merge_epoch_batch,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store = os.path.join(_stage_dir(sf_dir, "eogate", "orders"), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    applied = 0
+    skipped = 0
+    applied += merge_epoch_batch(orders, 0, store, ["o_orderkey"])
+    upd = orders.filter(F.col("o_orderkey") % 350 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 4000
+    )
+    applied += merge_epoch_batch(upd, 1, store, ["o_orderkey"])
+    corrupt_replay = upd.withColumn("o_totalprice", F.lit(0.0))
+    was_applied = merge_epoch_batch(corrupt_replay, 1, store, ["o_orderkey"])
+    applied += was_applied
+    skipped += not was_applied
+
+    snap = read_snapshot(spark, store)
+    return snap.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(applied).cast("long").alias("n_applied"),
+        F.lit(skipped).cast("long").alias("n_skipped"),
+    )
