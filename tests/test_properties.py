@@ -418,3 +418,56 @@ def test_sliding_distinct_matches_brute_force(spark, rows):
         for day in observed
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC apply_changes == sequential per-key replay (any feed, any order)
+# ---------------------------------------------------------------------------
+
+cdc_feed_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # key (collisions)
+        st.sampled_from(["I", "U", "D"]),               # op
+        st.integers(min_value=-100, max_value=100),     # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(snapshot=rows_strategy, feed=cdc_feed_strategy)
+@SETTINGS
+def test_apply_changes_matches_sequential_replay(spark, snapshot, feed):
+    """apply_changes collapses a change feed to the latest op per key
+    in ONE window pass; the ground truth is replaying every change in
+    seq order against a dict. The two must agree on any feed - mixed
+    I/U/D, deletes of absent keys, re-inserts after delete."""
+    from formula1_etl_analytics_project_spark.sources.sinks import apply_changes
+
+    snap_dict = {}
+    for k, v in snapshot:
+        snap_dict[k] = v  # last wins: mimic a key-unique snapshot
+    replay = dict(snap_dict)
+    for seq, (k, op, v) in enumerate(feed):
+        if op == "D":
+            replay.pop(k, None)
+        else:
+            replay[k] = v
+
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap_dict.items()] or [(None, None)],
+        "k int, v int",
+    ).filter(F.col("k").isNotNull())
+    feed_df = spark.createDataFrame(
+        [(k, v, op, seq) for seq, (k, op, v) in enumerate(feed)]
+        or [(None, None, None, None)],
+        "k int, v int, op string, seq int",
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(
+            snap_df, feed_df, keys=["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    assert got == replay
