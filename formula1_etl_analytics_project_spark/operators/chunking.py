@@ -23,10 +23,25 @@ GRAM = 5  # rolling-window width in tokens
 
 
 def _gram_key(toks: Column, p0: Column) -> Column:
-    """60-bit md5 key of the 5-gram ending at 0-based position p0."""
+    """60-bit md5 key of the 5-gram ending at 0-based position p0.
+
+    The slice start is clamped to 1: callers only consume the key
+    under a ``p0 + 1 >= GRAM`` guard, but Spark's slice() throws on a
+    start of 0, and relying on conjunct short-circuit order for
+    validity is a refactoring landmine (any hoist of this expression
+    into its own column would evaluate it unguarded)."""
     return F.conv(
         F.substring(
-            F.md5(F.array_join(F.slice(toks, p0 - (GRAM - 2), GRAM), " ")),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.greatest(F.lit(1), p0 - (GRAM - 2)),
+                        GRAM,
+                    ),
+                    " ",
+                )
+            ),
             1,
             15,
         ),

@@ -136,7 +136,7 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf
   FROM tok
-  WHERE tok IN ('spark', 'join', 'window')
+  WHERE tok IN ({', '.join(repr(t) for t in _BM25_TERMS)})
   GROUP BY doc_id, tok
 ), df AS (
   SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
@@ -643,7 +643,10 @@ def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = os.path.join(_stage_dir(sf_dir, "orcrt", "orders"), "orders_orc")
-    if not os.path.isdir(stage):
+    # gate on the _SUCCESS marker, not the directory: a crashed partial
+    # write must be rewritten, not silently reused (same convention as
+    # the staged entries in catalog_ext.py)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
     orc = spark.read.orc(stage)
     return (

@@ -714,10 +714,14 @@ def commit_log_upsert(
          against its snapshot;
       2. write the merged snapshot under a WRITER-UNIQUE dir (uuid
          suffix - two racing writers never collide on data files);
-      3. try to claim commit N+1 by creating ``_log/<N+1>.commit``
-         with O_CREAT|O_EXCL - an ATOMIC exclusive create. Exactly one
-         racer wins; the loser deletes its orphan snapshot, re-reads,
-         RE-MERGES against the winner's result, and retries.
+      3. try to claim commit N+1 by hard-LINKING a fully-written
+         temp file to ``_log/<N+1>.commit`` - one atomic directory
+         operation that publishes the claim WITH its content (no
+         empty-claim window). Exactly one racer wins; the loser
+         deletes its orphan snapshot, re-reads, RE-MERGES against the
+         winner's result, and retries. A snapshot-write failure is
+         also treated as a lost race (the winner's retention pruning
+         may remove a lagging writer's base mid-scan) and retries.
 
     Lost updates are impossible: a commit is only ever created against
     the snapshot it merged (the exclusive create fails if anyone
@@ -725,18 +729,21 @@ def commit_log_upsert(
     two-writer test (tests/test_commit_log.py), which the pointer
     store fails by design. Returns the commit number claimed.
 
-    Durability/portability: O_EXCL-create is atomic on POSIX and on
-    HDFS (createFile without overwrite); on S3 it maps to conditional
-    PUT (If-None-Match) - the same primitive Delta's commit protocol
-    uses there. Crash windows: before the claim -> an orphan
-    underscore-prefixed data dir invisible to readers (pruned by later
-    winners); after the claim -> the commit is complete; there is no
-    in-between because the claim IS one filesystem operation.
+    Durability/portability: link-into-place is atomic on POSIX; the
+    HDFS equivalent is rename-without-overwrite, and on S3 it maps to
+    conditional PUT (If-None-Match) of the full payload - the same
+    primitive Delta's commit protocol uses there. Crash windows:
+    before the claim -> an orphan underscore-prefixed data dir (and
+    possibly a dot-prefixed temp claim) invisible to readers, pruned
+    by later winners; after the claim -> the commit is complete;
+    there is no in-between because the claim publishes atomically
+    with its content.
     """
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
+    last_err: Exception | None = None
     for _ in range(max_retries):
         committed = read_committed(path)
         if committed is None:
@@ -750,26 +757,53 @@ def commit_log_upsert(
             merged = upsert(existing, incoming, keys, order_col=order_col)
         next_n = base_n + 1
         snap_dir = f"_snap_{next_n:08d}_{_uuid.uuid4().hex[:8]}"
-        write_parquet(merged, _pp_join_safe(path, snap_dir), mode="overwrite")
-        claim = _pp_join_safe(_log_path(path), f"{next_n:08d}.commit")
         try:
-            fd = _os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            write_parquet(
+                merged, _pp_join_safe(path, snap_dir), mode="overwrite"
+            )
+        except Exception as exc:
+            # A lagging writer can lose its base snapshot mid-scan when
+            # a faster writer commits twice and prunes (retention keeps
+            # current + previous only). Treat ANY write failure as a
+            # lost race: clean up and re-merge against the new head.
+            last_err = exc
+            _shutil.rmtree(_pp_join_safe(path, snap_dir), ignore_errors=True)
+            continue
+        # Claim commit next_n ATOMICALLY WITH ITS CONTENT: the payload
+        # is written to a writer-private temp file first, then
+        # os.link() publishes it under the claim name - link fails
+        # with FileExistsError if anyone else claimed, and succeeds
+        # as one atomic directory operation otherwise. There is no
+        # window where the claim exists empty (an O_EXCL-create-then-
+        # write sequence would expose exactly that window to readers
+        # and to crashes).
+        claim = _pp_join_safe(_log_path(path), f"{next_n:08d}.commit")
+        tmp_claim = _pp_join_safe(
+            _log_path(path), f".claim_tmp_{_uuid.uuid4().hex[:12]}"
+        )
+        with open(tmp_claim, "w") as f:
+            f.write(snap_dir + "\n")
+            f.flush()
+            _os.fsync(f.fileno())
+        try:
+            _os.link(tmp_claim, claim)
         except FileExistsError:
             # lost the race: drop our snapshot, re-merge against winner
+            _os.unlink(tmp_claim)
             _shutil.rmtree(
                 _pp_join_safe(path, snap_dir), ignore_errors=True
             )
             continue
-        try:
-            _os.write(fd, (snap_dir + "\n").encode())
-            _os.fsync(fd)
-        finally:
-            _os.close(fd)
+        _os.unlink(tmp_claim)
         # prune snapshots older than previous (keep winner + previous
         # for in-flight readers), plus orphans from crashed losers
         keep_dirs = {snap_dir}
         if committed is not None:
             keep_dirs.add(committed[1])
+        # NB: stale ".claim_tmp_" files from crashed writers are left
+        # in place deliberately - unlinking them here would race an
+        # in-flight writer between its temp write and its link().
+        # They are dot-prefixed (invisible to readers) and tiny.
         for name in _os.listdir(path):
             if name.startswith("_snap_") and name not in keep_dirs:
                 n_part = name.split("_")[2]
@@ -781,4 +815,4 @@ def commit_log_upsert(
     raise RuntimeError(
         f"commit_log_upsert lost the commit race {max_retries} times "
         f"under {path}; raise max_retries or reduce writer contention"
-    )
+    ) from last_err

@@ -241,14 +241,32 @@ def merge_epoch_batch(
     snapshot_path: str,
     keys: list[str],
 ) -> bool:
-    """One exactly-once foreachBatch merge: skip if ``epoch_id`` was
-    already committed (checkpoint replay after a crash BETWEEN the
-    snapshot commit and the streaming checkpoint advance), else merge
-    and commit the epoch atomically with the snapshot pointer.
-    Returns True when the batch was applied, False when skipped."""
+    """One exactly-once foreachBatch merge: skip if ``epoch_id`` IS the
+    committed epoch (checkpoint replay after a crash BETWEEN the
+    snapshot commit and the streaming checkpoint advance - the only
+    epoch Structured Streaming ever re-delivers for one checkpoint),
+    else merge and commit the epoch atomically with the snapshot
+    pointer. Returns True when the batch was applied, False skipped.
+
+    An epoch LOWER than the committed one is neither a replay nor
+    progress - it means the query restarted against a DIFFERENT (or
+    wiped) checkpoint whose epoch counter reset, and silently skipping
+    would discard genuinely new data until the counter caught up.
+    That is refused loudly: pair each store with one checkpoint for
+    its lifetime, or start a fresh store for a fresh checkpoint.
+    """
     committed = read_current_epoch(snapshot_path)
-    if committed is not None and epoch_id <= committed:
-        return False
+    if committed is not None:
+        if epoch_id == committed:
+            return False
+        if epoch_id < committed:
+            raise ValueError(
+                f"epoch regression: store {snapshot_path} committed "
+                f"epoch {committed} but received epoch {epoch_id}; the "
+                "stream's checkpoint was reset or a different query is "
+                "writing - refusing to silently drop batches. Use a "
+                "fresh snapshot store for a fresh checkpoint."
+            )
     upsert_parquet_versioned(
         batch.sparkSession, batch, snapshot_path, keys, epoch_id=epoch_id
     )

@@ -606,14 +606,37 @@ def test_cohort_retention_is_single_scan_no_join(spark):
 
 def test_bm25_filters_terms_before_aggregation(spark):
     """The BM25 tf branch must cut to the 3 query terms at the explode
-    (the posting-list lookup), so every aggregate downstream of that
-    branch is query-sized; the codebook-side df/stats tables join as
-    broadcasts."""
+    (the posting-list lookup) BEFORE the (doc_id, tok) aggregate -
+    asserted structurally: every Filter node carrying the IN-list is
+    numbered immediately below a (doc_id, tok)-keyed HashAggregate in
+    the formatted plan (node numbers increase bottom-up per branch,
+    so lower number = executes earlier)."""
+    import re
+
     plan = _plan(spark, "bm25_doc_scores")
-    # the term predicate sits in a Filter, not after any aggregate
-    assert "tok IN (spark,join,window)" in plan.replace("'", "") or (
-        "spark" in plan and "Filter" in plan
-    )
+    # split the detail part into numbered node sections
+    sections: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (\S+)", line.strip())
+        if m:
+            cur = int(m.group(1))
+            sections[cur] = line.strip() + "\n"
+        elif cur is not None:
+            sections[cur] += line + "\n"
+    in_filters = [
+        n
+        for n, text in sections.items()
+        if text.startswith(f"({n}) Filter")
+        and "IN (spark,join,window)" in text
+    ]
+    assert in_filters, "term IN-filter must exist as its own Filter node"
+    for n in in_filters:
+        nxt = sections.get(n + 1, "")
+        assert nxt.startswith(f"({n + 1}) HashAggregate") and "tok" in nxt, (
+            f"node {n}'s IN-filter must feed the (doc_id, tok) "
+            f"aggregate directly; got: {nxt.splitlines()[:1]}"
+        )
     assert plan.count("BroadcastHashJoin") >= 1
     assert "TakeOrderedAndProject" in plan
 
@@ -644,13 +667,14 @@ def test_cdc_chunk_window_partitions_by_doc(spark):
     (empty-partition-spec) window here would serialize the corpus
     through one task."""
     plan = _plan(spark, "cdc_chunk_dedup")
-    assert "doc_id" in plan
-    # every window spec carries a partition list; none may be empty
-    for line in plan.splitlines():
-        if "Window" in line and "partitionBy" in line:
-            assert "partitionBy=[]" not in line
-    # the formatted plan shows the window's partition spec in its
-    # Arguments; assert no single-partition exchange anywhere
+    # every window spec must partition by doc_id (formatted explain
+    # renders specs as windowspecdefinition(doc_id#.., p#.. ASC ...))
+    spec_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert spec_lines, "the chunk-id cumsum window must appear in the plan"
+    assert all("doc_id" in l for l in spec_lines)
+    # and no single-partition exchange anywhere
     assert "SinglePartition" not in plan
 
 

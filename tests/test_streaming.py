@@ -243,3 +243,10 @@ def test_replayed_epoch_is_skipped(spark, tmp_path_factory):
     snap = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
     assert snap == {1: "a", 2: "b2", 3: "c"}
     assert read_current_epoch(path) == 1
+
+    # epoch REGRESSION (restarted query, reset checkpoint counter) is
+    # neither replay nor progress: refuse loudly, never drop silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epoch regression"):
+        merge_epoch_batch(b0, 0, path, ["k"])
