@@ -123,3 +123,24 @@ def test_upsert_schema_evolution(spark):
     assert rows == {1: ("a", None), 2: ("b2", 0.9)}
     with _pytest.raises(Exception):
         upsert(existing, incoming, ["k"]).collect()  # strict: loud failure
+
+
+def test_commit_log_equals_fold_of_upserts(spark, tmp_path_factory):
+    """Sequential commit-log semantics == a pure dict fold of the same
+    batches, on randomized batch sequences (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(31)
+    path = str(tmp_path_factory.mktemp("clog_fold") / "store")
+    model: dict[int, int] = {}
+    for i in range(6):
+        batch = {rng.randrange(8): rng.randrange(1000) for _ in range(3)}
+        model.update(batch)
+        commit_log_upsert(
+            spark,
+            spark.createDataFrame(list(batch.items()), "k long, v long"),
+            path,
+            ["k"],
+        )
+    got = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
+    assert got == model
