@@ -68,6 +68,7 @@ GROUP BY d.doc_id
     "unigram_logprob_score",
     _NLL_SQL,
     tags=("text", "quality"),
+    bench=True,
 )
 def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score (the CCNet / Wikipedia-LM filter
@@ -491,6 +492,7 @@ FROM a2 GROUP BY vec_id
     "pq_codes",
     _PQ_SQL,
     tags=("vector", "iterative"),
+    bench=True,
 )
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the embedding corpus: 4
