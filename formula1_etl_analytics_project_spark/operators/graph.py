@@ -10,9 +10,11 @@ chained SQL CTEs) and across cluster sizes.
 
 Scale shape per iteration: one shuffle-join of the edge list against
 the current rank vector (both partitioned on ``src``) plus one
-hash-agg by ``dst``. Edges and out-degrees are loop-invariant; callers
-should localCheckpoint() them once (the catalog entry does) so the
-rounds reuse one materialization - the same lineage-cut pattern as
+hash-agg by ``dst``. The loop-invariant node-set and out-degree tables
+are lazily localCheckpoint()ed INSIDE the operator (one materialization
+reused across rounds); callers additionally checkpoint the EDGE list
+once (the catalog entry does) so its derivation pipeline never replays
+- the same lineage-cut pattern as
 ``operators.dedup.connected_components``.
 """
 
@@ -50,15 +52,19 @@ def pagerank_fixed_point(
     # degree count (outdeg) replay inside every iteration's plan -
     # measured at sf0.1: best-of-4 2.54s -> 2.27s with the checkpoints,
     # and the variance tail tightens. Same rationale as the edge-stage
-    # checkpoints in triangle_counts.
+    # checkpoints in triangle_counts. eager=False: materialize at the
+    # first ACTION, not at plan build - explain()/iterations=0 callers
+    # must not trigger Spark jobs as a side effect of construction.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = (
-        edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):

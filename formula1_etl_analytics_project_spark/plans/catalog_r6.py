@@ -178,10 +178,11 @@ def q_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg by dst. The rank vector is nodes-sized (small relative to
     edges) but scale-growing, so it is NOT pinned-broadcast - AQE
     picks the strategy per round. The loop-invariant edge list is
-    localCheckpoint()ed once, so every round (and the node set and
-    out-degrees the operator derives from it) replays from that one
-    materialization instead of re-running the orders x lineitem join
-    per iteration (the same lineage-cut pattern as operators/dedup.py
+    localCheckpoint()ed once here, so the orders x lineitem join never
+    replays; the operator additionally lazy-checkpoints the node-set
+    and out-degree tables it derives, so those two aggregations also
+    materialize once instead of inside every iteration's plan
+    (the same lineage-cut pattern as operators/dedup.py
     connected_components)."""
     from formula1_etl_analytics_project_spark.operators.graph import (
         pagerank_fixed_point,

@@ -133,7 +133,10 @@ def test_commit_log_equals_fold_of_upserts(spark, tmp_path_factory):
     rng = random.Random(31)
     path = str(tmp_path_factory.mktemp("clog_fold") / "store")
     model: dict[int, int] = {}
-    for i in range(6):
+    for _ in range(6):
+        # dict construction keeps each batch KEY-UNIQUE - the upsert
+        # contract for order_col=None batches; cross-batch collisions
+        # (8-key space) still exercise the merge path every round
         batch = {rng.randrange(8): rng.randrange(1000) for _ in range(3)}
         model.update(batch)
         commit_log_upsert(
