@@ -1092,3 +1092,70 @@ def q_stream_exactly_once_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(applied).cast("long").alias("n_applied"),
         F.lit(skipped).cast("long").alias("n_skipped"),
     )
+
+
+# ===========================================================================
+# Custom Python data source under the oracle gate
+# ===========================================================================
+
+_PYSRC_SQL = """
+WITH gen AS (
+  SELECT i,
+         ('0x' || substr(md5('42|' || i), 1, 16))::UBIGINT AS h
+  FROM generate_series(0, 1999) t(i)
+), rows_ AS (
+  SELECT i AS event_id,
+         CAST(h % 150 AS BIGINT) AS user_id,
+         (['click', 'view', 'purchase', 'error', 'scroll'])[
+           CAST(h % 5 AS INT) + 1] AS event_type,
+         ROUND(CAST(h % 1000000 AS DOUBLE) / 1000.0, 3) AS value
+  FROM gen
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS total_value
+FROM rows_
+GROUP BY event_type
+"""
+
+
+@_register(
+    "python_source_scan",
+    _PYSRC_SQL,
+    tags=("source",),
+)
+def q_python_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/pysource.py) under the
+    hash gate: 2000 synthetic events generated EXECUTOR-SIDE across 4
+    InputPartitions, aggregated per event type. Each row is a pure
+    md5 function of (seed, i), which DuckDB restates from
+    generate_series - so the oracle verifies the entire source
+    plumbing (partition planning, per-partition generation, schema,
+    option passing) value-exactly, not just by row count. The
+    streaming twin (synthetic_events_stream) is proven row-identical
+    to this source in tests/test_pysource.py, so the gate transitively
+    covers both modes. ``sf_dir`` is unused: the source IS the data.
+    """
+    from formula1_etl_analytics_project_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .option("partitions", 4)
+        .option("seed", 42)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,3)"))
+        .cast("double")
+        .alias("total_value"),
+    )
