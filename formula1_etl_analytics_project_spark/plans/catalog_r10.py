@@ -1159,3 +1159,64 @@ def q_python_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ===========================================================================
+# Small-files compaction under the oracle gate
+# ===========================================================================
+
+_COMPACT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@_register(
+    "compact_small_files",
+    _COMPACT_SQL,
+    tags=("sink", "maintenance"),
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake maintenance under the gate: orders are deliberately
+    shattered into ~64 small files (the debris a streaming sink or
+    fine-grained upsert accretes), compacted back through
+    compact_parquet (staging + same-filesystem swap, underscore-
+    prefixed staging invisible to readers - the ADVICE-hardened
+    crash-safe form), and the per-status totals read from the
+    COMPACTED directory must hash-match the oracle over the original
+    table - proving the rewrite is lossless AND the file count
+    actually collapsed (asserted here, not just implied).
+    ``coalesce``-based: compaction is pure IO, no shuffle.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    stage = os.path.join(_stage_dir(sf_dir, "compact", "orders"), "shattered")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _shutil.rmtree(stage, ignore_errors=True)
+        orders.repartition(64).write.mode("overwrite").parquet(stage)
+        n_before = len(_glob.glob(os.path.join(stage, "part-*")))
+        n_after = compact_parquet(spark, stage, target_file_bytes=128 << 20)
+        if not n_after < n_before:
+            raise AssertionError(
+                f"compaction must reduce file count ({n_before} -> {n_after})"
+            )
+    compacted = spark.read.parquet(stage)
+    return compacted.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
