@@ -319,8 +319,7 @@ def q_source_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_MOD = 16  # boundary when gram-hash % 16 == 0 -> ~16-token chunks
 
-_CDC_SQL = rf"""
-WITH normed AS (
+_CDC_CTES = rf"""normed AS (
   SELECT doc_id, source,
          list_filter(string_split(
            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
@@ -350,7 +349,10 @@ WITH normed AS (
          md5(string_agg(tok, ' ' ORDER BY p)) AS sig
   FROM chunked
   GROUP BY doc_id, source, chunk_id
-)
+)"""
+
+_CDC_SQL = f"""
+WITH {_CDC_CTES}
 SELECT source,
        COUNT(*) AS n_chunks,
        COUNT(DISTINCT sig) AS n_unique,
@@ -1220,3 +1222,76 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ===========================================================================
+# Chunk-level near-dup pairs (shift-robust sub-document dedup)
+# ===========================================================================
+
+_CDC_PAIRS_SQL = f"""
+WITH {_CDC_CTES},
+hits AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM chunks a JOIN chunks b
+    ON a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared
+FROM hits WHERE n_shared >= 2
+"""
+
+
+@_register(
+    "cdc_chunk_pairs",
+    _CDC_PAIRS_SQL,
+    tags=("text", "dedup"),
+)
+def q_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust near-dup CANDIDATE PAIRS at sub-document grain:
+    documents sharing >= 2 content-defined chunks (signature-equal).
+    This is the operator the chunking exists for - because boundaries
+    are pure functions of local content, a plagiarized/mirrored
+    passage yields identical chunk signatures no matter where it sits
+    in either document, so shifted duplication that whole-doc
+    fingerprints (exact_dedup_docs) and even fixed 5-gram fractions
+    dilute shows up here as shared chunks. Completes the dedup family
+    matrix: doc-level exact, MinHash/SimHash probabilistic, PPJoin
+    exact-set, containment asymmetric, and now chunk-level shift-
+    robust.
+
+    Shape at 100 TB: the self-join keys on 16-byte digests (never
+    chunk text), the >= 2 threshold prunes incidental single-chunk
+    collisions, and the pair space is bounded by signature-bucket
+    sizes - near-dup-sparse by construction, same profile as the
+    band joins.
+    """
+    from formula1_etl_analytics_project_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    normed = docs.select(
+        "doc_id",
+        "source",
+        tokens(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        ).alias("toks"),
+    )
+    chunks = content_defined_chunks(
+        normed, id_col="doc_id", toks_col="toks", mod=_CDC_MOD
+    ).select("doc_id", "sig").persist()
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs
