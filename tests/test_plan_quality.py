@@ -730,3 +730,18 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     )
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_cdc_chunk_pairs_joins_on_digests_not_text(spark):
+    """The chunk-pair self-join must be a hash join keyed on the md5
+    signature - never a cartesian/nested-loop - and chunk TEXT must
+    not survive into the join (only 16-byte digests shuffle)."""
+    plan = _plan(spark, "cdc_chunk_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    # the join condition keys on sig
+    cond_lines = [l for l in plan.splitlines() if "sig" in l and ("Join" in l or "condition" in l.lower())]
+    assert cond_lines
