@@ -742,6 +742,9 @@ def test_cdc_chunk_pairs_joins_on_digests_not_text(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
-    # the join condition keys on sig
-    cond_lines = [l for l in plan.splitlines() if "sig" in l and ("Join" in l or "condition" in l.lower())]
-    assert cond_lines
+    # the equi-join keys on the signature column (formatted explain
+    # renders them as "Left keys [1]: [sig#..]")
+    key_lines = [
+        l for l in plan.splitlines() if "keys" in l.lower() and "sig" in l
+    ]
+    assert key_lines, "join must key on the chunk signature"
