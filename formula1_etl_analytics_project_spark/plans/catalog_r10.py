@@ -1295,3 +1295,89 @@ def q_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     return pairs
+
+
+# ===========================================================================
+# Co-bucketed shuffle-free join under the oracle gate
+# ===========================================================================
+
+_BUCKETED_SQL = """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+         AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@_register(
+    "bucketed_join_agg",
+    _BUCKETED_SQL,
+    tags=("join", "layout"),
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once/join-many bucketed layout under the hash gate:
+    lineitem and orders are written as CO-BUCKETED tables (8 buckets
+    on the join key, sorted within buckets) and then joined with
+    broadcast disabled - the join runs bucket-pair-local with ZERO
+    Exchange on either side (pinned by
+    tests/test_plan_quality.py::test_cobucketed_join_has_no_shuffle;
+    this entry proves the layout also produces byte-identical RESULTS
+    vs the oracle's plain join). At 100 TB this is the answer to
+    repeated fact-fact joins: pay the partitioning once at write
+    time, never shuffle either fact again.
+
+    The bucketed tables are EXTERNAL: data under the fingerprinted
+    per-(testdata, pid) stage dir - never the CWD warehouse - and the
+    table NAMES carry the same fingerprint, so one process running
+    multiple scale factors (the parity sweeps do) never reuses a
+    table built from different data, and concurrent sessions never
+    fight over the in-memory catalog.
+    """
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    stage = _stage_dir(sf_dir, "bktjoin", "orders")
+    tag = os.path.basename(stage).replace(".", "_").replace("-", "_")
+    lt, ot = f"bkt_li_{tag}", f"bkt_ord_{tag}"
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            li, lt, "l_orderkey", buckets=8, sort_by="l_orderkey",
+            path=os.path.join(stage, "li"),
+        )
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            orders, ot, "o_orderkey", buckets=8, sort_by="o_orderkey",
+            path=os.path.join(stage, "ord"),
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(lt).join(
+            spark.table(ot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        # materialize the result WHILE broadcast is disabled so the
+        # bucket-local SortMergeJoin is what actually executes; the
+        # returned frame is then partition-layout-free
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(rows, out.schema)

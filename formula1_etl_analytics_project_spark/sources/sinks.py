@@ -208,6 +208,7 @@ def write_bucketed(
     buckets: int = 8,
     sort_by: str | list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed-table write (``bucketBy`` + ``saveAsTable``).
 
@@ -223,6 +224,11 @@ def write_bucketed(
     if sort_by:
         scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*scols)
+    if path is not None:
+        # external table: bucket METADATA lives in the catalog, data
+        # files under the caller's path - keeps the warehouse dir (and
+        # therefore the CWD) untouched
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
