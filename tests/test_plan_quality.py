@@ -748,3 +748,33 @@ def test_cdc_chunk_pairs_joins_on_digests_not_text(spark):
         l for l in plan.splitlines() if "keys" in l.lower() and "sig" in l
     ]
     assert key_lines, "join must key on the chunk signature"
+
+
+def test_epoch_shuffle_range_partitions_no_global_sort(spark):
+    """The epoch shuffle's data path must be a RANGE partitioning on
+    the md5 key + per-partition local work (MapInPandas stamping) -
+    never a global sort. The only SinglePartition exchange allowed is
+    the k-row offsets aggregate (k = #partitions, data-independent),
+    whose result broadcasts back."""
+    plan = _plan(spark, "epoch_shuffle_docs")
+    assert "rangepartitioning(_k" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back as broadcast
+    # the single-partition exchange must feed an aggregate (the k-row
+    # offsets path), not the row-level data path
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 6): i])
+            assert "HashAggregate" in ctx or "Sort" in ctx
+
+
+def test_mixture_resample_broadcasts_count_tables(spark):
+    """Mixture resampling's pass 2 must join the k-row source-count
+    table as a broadcast (map-side accept test); the corpus side never
+    shuffles for the join. The 1-row corpus total arrives via a
+    broadcast nested-loop (crossJoin of a single row - bounded by
+    construction)."""
+    plan = _plan(spark, "mixture_resample_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
