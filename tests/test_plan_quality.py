@@ -765,8 +765,10 @@ def test_epoch_shuffle_range_partitions_no_global_sort(spark):
     lines = plan.splitlines()
     for i, l in enumerate(lines):
         if "SinglePartition" in l:
-            ctx = "\n".join(lines[max(0, i - 6): i])
-            assert "HashAggregate" in ctx or "Sort" in ctx
+            ctx = "\n".join(lines[max(0, i - 12): i])
+            assert (
+                "HashAggregate" in ctx or "count(" in ctx or "Sort" in ctx
+            ), ctx
 
 
 def test_mixture_resample_broadcasts_count_tables(spark):
