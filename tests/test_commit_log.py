@@ -147,3 +147,27 @@ def test_commit_log_equals_fold_of_upserts(spark, tmp_path_factory):
         )
     got = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
     assert got == model
+
+
+def test_stranded_temp_claims_are_inert(spark, tmp_path_factory):
+    """A writer crashing between its temp-claim write and the link()
+    (or between link and unlink) strands a dot-prefixed temp file in
+    _log/. It must be invisible to commit resolution and must not
+    block subsequent commits."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("clog_tmp") / "store")
+    commit_log_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"]
+    )
+    # simulate both crash windows
+    with open(f"{path}/_log/.claim_tmp_deadbeef", "w") as f:
+        f.write("_snap_00000099_feedface\n")
+    assert read_committed(path)[0] == 1  # temp claim not a commit
+    commit_log_upsert(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), path, ["k"]
+    )
+    assert read_committed(path)[0] == 2
+    snap = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
+    assert snap == {1: "a", 2: "b"}
+    assert os.path.exists(f"{path}/_log/.claim_tmp_deadbeef")  # left alone
