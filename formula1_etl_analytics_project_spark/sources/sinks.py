@@ -822,3 +822,43 @@ def commit_log_upsert(
         f"commit_log_upsert lost the commit race {max_retries} times "
         f"under {path}; raise max_retries or reduce writer contention"
     ) from last_err
+
+
+def vacuum_commit_log(path: str, keep_last: int = 2) -> int:
+    """Retention management for the commit-log store: keep the
+    snapshots of the last ``keep_last`` commits (the current one is
+    always kept), delete older snapshot dirs AND loser/crash orphans.
+    Commit FILES are never deleted - the log stays a complete history
+    (they are bytes-sized); time travel to a vacuumed version fails
+    loudly via read_committed_snapshot's pruned-snapshot error rather
+    than silently reading nothing. Returns the number of snapshot
+    dirs removed.
+
+    The Delta VACUUM analogue, minus retention-by-timestamp: callers
+    decide cadence; in-flight readers of a just-vacuumed version are
+    protected the same way as the upsert prune (keep_last >= 2 keeps
+    current + previous).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    committed = read_committed(path)
+    if committed is None:
+        return 0
+    keep_dirs = set()
+    try:
+        names = _os.listdir(_log_path(path))
+    except FileNotFoundError:
+        return 0
+    commits = sorted(n for n in names if n.endswith(".commit"))
+    for name in commits[-keep_last:]:
+        with open(_pp_join_safe(_log_path(path), name)) as f:
+            keep_dirs.add(f.read().strip())
+    removed = 0
+    for name in _os.listdir(path):
+        if name.startswith("_snap_") and name not in keep_dirs:
+            _shutil.rmtree(_pp_join_safe(path, name), ignore_errors=True)
+            removed += 1
+    return removed

@@ -171,3 +171,34 @@ def test_stranded_temp_claims_are_inert(spark, tmp_path_factory):
     snap = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
     assert snap == {1: "a", 2: "b"}
     assert os.path.exists(f"{path}/_log/.claim_tmp_deadbeef")  # left alone
+
+
+def test_vacuum_keeps_recent_versions_and_fails_loud_on_old(spark, tmp_path_factory):
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        vacuum_commit_log,
+    )
+    import pytest as _pytest
+
+    path = str(tmp_path_factory.mktemp("clog_vac") / "store")
+    for i in range(4):
+        commit_log_upsert(
+            spark,
+            spark.createDataFrame([(1, f"v{i}")], "k long, v string"),
+            path,
+            ["k"],
+        )
+    # the upsert's own prune already keeps only current+previous, so
+    # vacuum to keep_last=1 removes exactly the previous snapshot
+    removed = vacuum_commit_log(path, keep_last=1)
+    assert removed == 1
+    assert read_committed_snapshot(spark, path, version=4).collect()[0]["v"] == "v3"
+    # older versions: loud pruned-snapshot error, never silent wrong data
+    with _pytest.raises(FileNotFoundError, match="pruned"):
+        read_committed_snapshot(spark, path, version=3)
+    with _pytest.raises(FileNotFoundError, match="pruned"):
+        read_committed_snapshot(spark, path, version=1)
+    # the store still accepts new commits after vacuum
+    commit_log_upsert(
+        spark, spark.createDataFrame([(2, "x")], "k long, v string"), path, ["k"]
+    )
+    assert read_committed(path)[0] == 5
