@@ -1,17 +1,39 @@
-"""Round-10 catalog entries (round 3, session 3): the language-model
-scoring / retrieval / storage-dedup text stack:
+"""Round-10 catalog entries (round 3, session 3) - 18 entries across
+four themes:
 
+LM scoring / retrieval / storage dedup:
 * `unigram_logprob_score` - CCNet-style perplexity-proxy quality
-  filter: per-document mean negative log-likelihood under the corpus
-  unigram LM;
-* `bm25_doc_scores` - BM25 ranking of documents against a fixed query
-  term set (the retrieval twin of `tfidf_top_terms`);
-* `source_boilerplate_ngrams` - per-source template detection: the
-  most widely shared word 5-grams, counted on 60-bit hash keys with
-  the strings fetched back only for the winners;
-* `cdc_chunk_dedup` - content-defined chunking (rolling-hash
-  boundaries) + cross-corpus chunk-level dedup ratio, the storage /
-  near-shift dedup primitive.
+  filter (mean NLL under the corpus unigram LM);
+* `bm25_doc_scores` - Okapi BM25 top-20 against a fixed query;
+* `source_boilerplate_ngrams` - per-source template detection on
+  60-bit hash keys, strings fetched back only for winners;
+* `cdc_chunk_dedup` / `cdc_chunk_pairs` - content-defined chunking
+  (shift-robust boundaries) + chunk-level dedup ratios and the
+  shared-signature near-dup pair generator.
+
+Vector compression:
+* `pq_codes` - product quantization (4x16-dim codebooks, decimal-
+  exact Lloyd update, broadcast both passes);
+* `pq_adc_recall` - the asymmetric-distance search quality gate.
+
+Training-data sampling:
+* `epoch_shuffle_docs` - deterministic global permutation via
+  distributed_sequence (no global sort, no single-partition window);
+* `mixture_resample_docs` - per-source acceptance toward a uniform
+  mixture, exact DECIMAL cross-multiplied membership.
+
+Storage / transactions / sources (each a real side-effecting
+round-trip whose final state the oracle restates):
+* `orc_roundtrip_scan` - lossless ORC interchange with pushdown;
+* `sql_surface_q8` - TPC-H Q8 8-way-join market share;
+* `upsert_commitlog_orders` / `time_travel_diff` /
+  `stream_exactly_once_gate` - the commit-log store's claims,
+  version time travel, and epoch-replay skip under the hash gate;
+* `python_source_scan` - the custom Python DataSource restated by
+  DuckDB from generate_series+md5;
+* `compact_small_files` - crash-safe small-files compaction;
+* `bucketed_join_agg` - co-bucketed zero-Exchange join, external
+  tables keyed by testdata fingerprint.
 
 Portability rules as in plans/catalog.py: exact integer counts feed
 deterministic double terms, each cast to DECIMAL before any
