@@ -1014,9 +1014,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the artifacts every import, so the rotation self-maintains as rounds
 # accumulate; no hand-kept list to go stale.
 #
-# A small static pin keeps the round-2 verdict's named targets in the
-# sample even though they already have one (stale, r01-only) green row.
-_GATE_PIN: tuple[str, ...] = ("denormalize_wide", "session_window_agg")
+# A small static pin fronts verdict-named targets; gate_order() filters
+# pins through the ledger, so each drops out once it earns a green row.
+# Round-2 targets (denormalize_wide, session_window_agg) went green in
+# r03 and now self-evict. Round-3 targets: the 12 latent-HUGEINT oracles
+# whose SUM outputs were cast to BIGINT this round (verdict task 1 —
+# confirm the fix with a driver row, same bug as the 4 r03-red entries)
+# and the CDC-chunk + product-quantization pairs (verdict task 5).
+_GATE_PIN: tuple[str, ...] = (
+    "denormalize_wide",
+    "session_window_agg",
+    "mad_outliers",
+    "embedding_curation_pipeline",
+    "skew_report",
+    "ab_test_ztest",
+    "chi2_independence",
+    "doc_entropy",
+    "twap_user_value",
+    "kl_divergence_sources",
+    "covered_time_per_user",
+    "unigram_logprob_score",
+    "mixture_resample_docs",
+    "time_travel_diff",
+    "cdc_chunk_dedup",
+    "cdc_chunk_pairs",
+    "pq_codes",
+    "pq_adc_recall",
+)
 
 
 def _driver_ledger() -> dict[str, int]:
@@ -1054,12 +1078,21 @@ def gate_order() -> list[str]:
     Never-green entries (per the CORRECTNESS_r*.json ledger) come first
     in registration order, with explicitly pinned and newly-registered
     ``gate_priority`` entries ahead of the backlog; already-green entries
-    follow, stalest green row first.
+    follow, stalest green row first. The pin/priority front block is
+    itself filtered through the ledger: once a pinned entry has a green
+    driver row it drops back into the stale-rotation pool, so every one
+    of the driver's 50 gate slots lands on a never-checked entry (the
+    round-3 verdict caught the unfiltered front block re-spending 31
+    slots on already-green entries).
     """
     ledger = _driver_ledger()
     reg_index = {n: i for i, n in enumerate(CATALOG)}
-    front = [n for n in _GATE_PIN if n in CATALOG]
-    front += [n for n in _GATE_PRIORITY_DYNAMIC if n in CATALOG and n not in front]
+    front = [n for n in _GATE_PIN if n in CATALOG and n not in ledger]
+    front += [
+        n
+        for n in _GATE_PRIORITY_DYNAMIC
+        if n in CATALOG and n not in front and n not in ledger
+    ]
     rest = [n for n in CATALOG if n not in front]
     # (0, reg) for never-green, (round, reg) for green -> never-green
     # sorts ahead, then stalest green, registration order as tiebreak.

@@ -1030,7 +1030,7 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_history",
     """
     SELECT o_custkey, o_orderdate AS valid_from,
-           COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '9999-12-31 00:00:00')
+           COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '2200-01-01 00:00:00')
              AS valid_to,
            CAST(LEAD(o_orderdate) OVER w IS NULL AS INT) AS is_current,
            o_orderstatus AS status
@@ -1047,7 +1047,10 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 historization: per-customer status versions become
     (valid_from, valid_to] intervals via LEAD over the change timeline;
-    the open interval gets the 9999 sentinel and is_current = 1. The
+    the open interval gets a far-future sentinel (2200-01-01: far past
+    any data, yet INSIDE pandas' datetime64[ns] range [1677, 2262] so
+    the driver's pandas-materializing oracle harness can represent it -
+    a 9999 sentinel crashes that path) and is_current = 1. The
     slowly-changing-dimension pattern the reference's star schema would
     need for history (it stores only current state). One change per
     (customer, date) is kept deterministically (max orderkey)."""
@@ -1064,7 +1067,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "o_custkey",
         F.col("o_orderdate").alias("valid_from"),
-        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")).alias(
+        F.coalesce(nxt, F.lit("2200-01-01 00:00:00").cast("timestamp_ntz")).alias(
             "valid_to"
         ),
         nxt.isNull().cast("int").alias("is_current"),

@@ -74,7 +74,7 @@ WITH tok AS (
   SELECT SUM(c) AS gs FROM dt
 )
 SELECT d.doc_id,
-       SUM(d.c) AS n_tokens,
+       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
        ROUND(CAST(SUM(CAST(
            d.c * -ln(CAST(g.g AS DOUBLE) / CAST(x.gs AS DOUBLE))
            AS DECIMAL(38,12))) AS DOUBLE)
@@ -763,7 +763,7 @@ SELECT source,
        COUNT(*) AS n_docs,
        ROUND(LEAST(1.0, CAST(MIN(n_t) AS DOUBLE)
                          / (MIN(k) * MIN(n_s))), 6) AS acceptance,
-       SUM(keep) AS n_kept
+       CAST(SUM(keep) AS BIGINT) AS n_kept
 FROM flagged
 GROUP BY source
 """
@@ -973,7 +973,8 @@ WITH v2 AS (
   FROM orders
 )
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed,
+       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
        CAST(SUM(CAST(CASE WHEN changed THEN 7000.0 ELSE 0.0 END
                      AS DECIMAL(30,4))) AS DOUBLE) AS total_delta
 FROM v2

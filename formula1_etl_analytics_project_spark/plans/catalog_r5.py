@@ -45,7 +45,7 @@ WITH tok AS (
          SUM(wlen * c) AS n_word_chars
   FROM wc GROUP BY doc_id
 )
-SELECT doc_id, n_words, n_distinct,
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_distinct,
        ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
        ROUND(CAST(n_words - n_distinct AS DOUBLE) / n_words, 6)
          AS dup_word_frac,
@@ -123,7 +123,7 @@ WITH per_src AS (
 ), tot AS (
   SELECT SUM(sqrt_scaled) AS total FROM per_src
 )
-SELECT source, n_docs, n_tokens,
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(CAST(sqrt_scaled AS DOUBLE) / total, 9) AS mix_weight
 FROM per_src CROSS JOIN tot
 """

@@ -46,7 +46,8 @@ WITH normed AS (
 )
 SELECT g.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_shingles,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
        ROUND(CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac,
        (CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -151,7 +152,7 @@ WITH edges AS (
   SELECT n.node, {_PR_BASE} + (85 * COALESCE(s.inc, 0)) // 100 AS rank
   FROM nodes n LEFT JOIN s3 s ON n.node = s.node
 )
-SELECT node, rank AS pagerank_fp
+SELECT node, CAST(rank AS BIGINT) AS pagerank_fp
 FROM r3 ORDER BY rank DESC, node LIMIT 20
 """
 

@@ -549,8 +549,8 @@ SELECT d.event_type,
        ROUND(MAX(d.med), 6) AS med,
        ROUND(MAX(m.mad), 6) AS mad,
        COUNT(*) AS n,
-       SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
@@ -845,9 +845,10 @@ WITH hp AS (
   FROM scaled s
 )
 SELECT split,
-       SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
-       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dropped,
-       SUM(CASE WHEN is_dup THEN 0 ELSE q_sum END) AS q_sum_total
+       CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN is_dup THEN 0 ELSE q_sum END) AS BIGINT)
+         AS q_sum_total
 FROM labeled
 GROUP BY split
 """
@@ -1521,7 +1522,7 @@ WITH per_key AS (
   FROM per_key
 )
 SELECT 'lineitem.l_orderkey' AS key_name,
-       n_keys, n_rows, max_key_rows,
+       n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_key_rows,
        ROUND(p99, 6) AS p99_key_rows,
        ROUND(max_key_rows / mean_rows, 6) AS max_over_mean,
        ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 9) AS top_key_share
@@ -1718,7 +1719,7 @@ WITH users AS (
          MAX(CASE WHEN arm = 1 THEN n_conv END) AS c1
   FROM arms
 )
-SELECT n0, c0, n1, c1,
+SELECT n0, CAST(c0 AS BIGINT) AS c0, n1, CAST(c1 AS BIGINT) AS c1,
        ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
        ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
        CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN

@@ -101,7 +101,7 @@ WITH obs AS (
 SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
        (SELECT (COUNT(*) - 1) FROM rowt)
          * (SELECT (COUNT(*) - 1) FROM colt) AS dof,
-       (SELECT n_total FROM tot) AS n_total
+       (SELECT CAST(n_total AS BIGINT) FROM tot) AS n_total
 FROM terms
 """
 
@@ -207,7 +207,7 @@ WITH tok AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       SUM(c) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
              - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
                              AS DECIMAL(38,12))) AS DOUBLE)
@@ -340,7 +340,7 @@ WITH stamped AS (
   FROM stamped WHERE t_next IS NOT NULL
 )
 SELECT user_id,
-       SUM(dt) AS span_us,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
        ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
          AS twap_value
 FROM seg
@@ -460,7 +460,7 @@ WITH tok AS (
   SELECT SUM(c) AS gs FROM st
 )
 SELECT s.source,
-       t.ts AS n_tokens,
+       CAST(t.ts AS BIGINT) AS n_tokens,
        ROUND(CAST(SUM(CAST(
          (s.c / CAST(t.ts AS DOUBLE))
          * ln((s.c / CAST(t.ts AS DOUBLE))
@@ -1246,7 +1246,7 @@ WITH iv AS (
   FROM islanded GROUP BY user_id, island
 )
 SELECT user_id, COUNT(*) AS n_islands,
-       SUM(en - st) AS covered_us
+       CAST(SUM(en - st) AS BIGINT) AS covered_us
 FROM islands GROUP BY user_id
 """
 

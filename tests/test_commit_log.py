@@ -202,3 +202,47 @@ def test_vacuum_keeps_recent_versions_and_fails_loud_on_old(spark, tmp_path_fact
         spark, spark.createDataFrame([(2, "x")], "k long, v string"), path, ["k"]
     )
     assert read_committed(path)[0] == 5
+
+
+def test_vacuum_spares_inflight_writer_snapshots(spark, tmp_path_factory):
+    """vacuum_commit_log must not delete a concurrent writer's staged
+    snapshot (written BEFORE its claim link): the dir is unreferenced
+    by any commit yet numbered beyond the head. Deleting it would let
+    the writer's link succeed with the head pointing at a vacuumed dir
+    — every later read/upsert then fails (ADVICE r03). Only dirs at or
+    below the head number are vacuum's to reclaim."""
+    import os
+
+    from formula1_etl_analytics_project_spark.sources.sinks import (
+        vacuum_commit_log,
+    )
+
+    path = str(tmp_path_factory.mktemp("clog_vac_inflight") / "store")
+    for i in range(3):
+        commit_log_upsert(
+            spark,
+            spark.createDataFrame([(1, f"v{i}")], "k long, v string"),
+            path,
+            ["k"],
+        )
+    head = read_committed(path)[0]
+    # a concurrent writer's staged-but-unclaimed next snapshot...
+    inflight = f"_snap_{head + 1:08d}_cafebabe"
+    os.makedirs(f"{path}/{inflight}")
+    with open(f"{path}/{inflight}/part-0.parquet", "w") as f:
+        f.write("staged")
+    # ...and a crash orphan from an old losing writer
+    orphan = "_snap_00000001_0badf00d"
+    os.makedirs(f"{path}/{orphan}", exist_ok=True)
+    removed = vacuum_commit_log(path, keep_last=2)
+    assert os.path.exists(f"{path}/{inflight}/part-0.parquet"), (
+        "vacuum deleted an in-flight writer's staged snapshot"
+    )
+    assert not os.path.exists(f"{path}/{orphan}")
+    assert removed >= 1
+    # the in-flight writer can still claim and the store stays readable
+    commit_log_upsert(
+        spark, spark.createDataFrame([(2, "x")], "k long, v string"), path, ["k"]
+    )
+    snap = {r["k"]: r["v"] for r in read_committed_snapshot(spark, path).collect()}
+    assert snap == {1: "v2", 2: "x"}

@@ -82,5 +82,26 @@ def test_gate_order_prefers_stalest_green_rows_after_backlog():
 
 
 def test_new_gate_priority_entries_land_in_first_50():
+    """Priority entries claim a gate slot only while never-green: once
+    the driver has confirmed one, it must NOT keep occupying the window
+    (round 3's unfiltered front block would have wasted 31 of round 4's
+    50 slots on already-green entries — the r03 verdict's task 2)."""
+    ledger = catalog._driver_ledger()
+    window = catalog.gate_order()[:50]
     for name in catalog._GATE_PRIORITY_DYNAMIC:
-        assert name in catalog.gate_order()[:50], name
+        if name in ledger:
+            assert name not in window, (
+                f"{name} is already driver-green and must cede its slot"
+            )
+        else:
+            assert name in window, name
+
+
+def test_green_pinned_entries_cede_their_front_slot():
+    ledger = catalog._driver_ledger()
+    window = catalog.gate_order()[:50]
+    never_green_backlog = len(set(catalog.CATALOG) - set(ledger))
+    if never_green_backlog >= 50:
+        for name in catalog._GATE_PIN:
+            if name in ledger:
+                assert name not in window, name
