@@ -1,4 +1,4 @@
-"""Round-10 catalog entries (round 3, session 3) - 18 entries across
+"""Round-10 catalog entries (round 3, session 3) - 17 entries across
 four themes:
 
 LM scoring / retrieval / storage dedup:

@@ -499,7 +499,7 @@ def upsert_parquet_partitioned(
     keys: list[str],
     partition_col: str,
     order_col: str | None = None,
-    check_moved_keys: bool = True,
+    check_moved_keys: bool | str = True,
 ) -> None:
     """Fact-scale MERGE on partitioned parquet: only the partitions
     that contain incoming keys are read, merged, and rewritten -
@@ -514,8 +514,8 @@ def upsert_parquet_partitioned(
     present in the incoming batch, so an incoming row whose key already
     exists under a DIFFERENT partition value would leave the old row in
     place - the key silently duplicated across partitions. With
-    ``check_moved_keys`` (default) violations are detected before any
-    write and raise ``ValueError``: the snapshot is scanned as a
+    ``check_moved_keys=True`` (default) violations are detected before
+    any write and raise ``ValueError``: the snapshot is scanned as a
     (keys, partition_col) projection - column-pruned, no data columns -
     and inner-joined against the incoming keys on key-equal AND
     partition-different. The check is skipped automatically when
@@ -523,6 +523,22 @@ def upsert_parquet_partitioned(
     a different key by definition). Callers that guarantee stability
     upstream can pass ``check_moved_keys=False`` to skip the
     key-column scan.
+
+    SCALE: the exact check's key-projection scan is O(table) per merge
+    - measured in SCALING.md ("Moved-key check at scale": +0.37 s at
+    sf0.1 where job latency dominates; the scan term crosses the Bloom
+    path's ~3 s fixed overhead around O(10^8) rows on this container,
+    far below the 100 TB design point where it becomes a multi-TB
+    key-column scan per merge. Decision recorded there. Pass
+    ``check_moved_keys="bloom"`` to check against the per-partition
+    Bloom index sidecar instead (operators/bloom_index.py): the merge
+    then (1) checks exactly inside the partitions it already reads,
+    (2) probes incoming keys against the OR of every OTHER partition's
+    filter - no table IO - and (3) verifies the FPP-bounded positives
+    with a partition-PRUNED exact scan of just the suspect partitions.
+    The index must exist (build_key_bloom_index, a one-time full-key
+    scan); this function keeps it fresh by rebuilding the touched
+    partitions' filters from the merge result after the data write.
 
     Mechanics: the affected-partition list comes from the incoming
     batch (one tiny distinct - cardinality = touched partitions, e.g.
@@ -534,6 +550,18 @@ def upsert_parquet_partitioned(
     partition directory, so the non-atomicity window of
     ``upsert_parquet`` shrinks to the touched partitions.
     """
+    if check_moved_keys == "bloom" and partition_col not in keys:
+        from formula1_etl_analytics_project_spark.operators import (
+            bloom_index as _bi,
+        )
+
+        if _bi.read_meta(spark, path) is None:
+            raise FileNotFoundError(
+                f"check_moved_keys='bloom' but no Bloom index under "
+                f"{path}; run build_key_bloom_index(spark, path, keys, "
+                f"partition_col, expected_keys_per_partition) once "
+                f"(for a brand-new table, after the first upsert)"
+            )
     parts = [
         r[0] for r in incoming.select(partition_col).distinct().collect()
     ]
@@ -549,18 +577,36 @@ def upsert_parquet_partitioned(
         and existing is not None
         and partition_col not in keys
     ):
-        snapshot_keys = spark.read.parquet(path).select(
-            *keys, partition_col
-        )
         incoming_keys = incoming.select(*keys, partition_col).distinct()
+        if check_moved_keys == "bloom":
+            from formula1_etl_analytics_project_spark.operators import (
+                bloom_index as _bi,
+            )
+
+            # within the partitions this merge already scans, check
+            # exactly (no extra IO); everywhere else, via the index
+            snapshot_keys = existing.select(*keys, partition_col)
+            moved_outside = _bi.probe_moved_keys(
+                spark, path, incoming, keys, partition_col
+            ).withColumnRenamed("suspect_partition", "__old_part")
+        else:
+            snapshot_keys = spark.read.parquet(path).select(
+                *keys, partition_col
+            )
+            moved_outside = None
         moved = (
             snapshot_keys.withColumnRenamed(partition_col, "__old_part")
             .join(incoming_keys, on=keys, how="inner")
             .filter(F.col("__old_part") != F.col(partition_col))
+            .select(*keys, "__old_part", partition_col)
         )
+        if moved_outside is not None:
+            moved = moved.unionByName(
+                moved_outside.select(*keys, "__old_part", partition_col)
+            )
         n_moved = moved.limit(1).count()
         if n_moved:
-            sample = moved.select(*keys, "__old_part", partition_col).head(5)
+            sample = moved.head(5)
             raise ValueError(
                 "upsert_parquet_partitioned: incoming batch moves key(s) "
                 f"across partitions (e.g. {sample}); dynamic overwrite "
@@ -580,6 +626,12 @@ def upsert_parquet_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if check_moved_keys == "bloom" and partition_col not in keys:
+        from formula1_etl_analytics_project_spark.operators import (
+            bloom_index as _bi,
+        )
+
+        _bi.update_key_bloom_index(spark, path, merged, keys, partition_col)
 
 
 def compact_parquet(
