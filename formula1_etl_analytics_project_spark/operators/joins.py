@@ -19,7 +19,7 @@ when the tables are co-bucketed at write time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Pinned-broadcast budget: well under any sane driver/executor memory,
 # well over every bounded dim (nation is 25 rows at any sf).
@@ -58,6 +58,16 @@ def broadcast_if_small(
     NOT forced - the conservative failure mode. Decisions are memoized
     per (session, canonical plan) - see _SIZE_CACHE.
     """
+    size = plan_size_bytes(df)
+    if size is None:
+        return df
+    return F.broadcast(df) if size <= max_bytes else df
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical-plan size estimate for ``df``, memoized per
+    (session, canonical plan) — see _SIZE_CACHE. None when no estimate
+    is available (the conservative answer for any size gate)."""
     try:
         key = (id(df.sparkSession), df.semanticHash())
     except Exception:
@@ -68,10 +78,10 @@ def broadcast_if_small(
             stats = df._jdf.queryExecution().optimizedPlan().stats()
             size = int(str(stats.sizeInBytes()))
         except Exception:
-            return df
+            return None
         if key is not None and len(_SIZE_CACHE) < _SIZE_CACHE_MAX:
             _SIZE_CACHE[key] = size
-    return F.broadcast(df) if size <= max_bytes else df
+    return size
 
 
 def star_join(
@@ -163,3 +173,108 @@ def integrity_keep(
     never duplicates child rows the way an inner join against a
     non-unique parent would)."""
     return child.join(parent, on=on, how="left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    out_col: str | None = None,
+    strategy: str = "auto",
+    max_broadcast_bytes: int = _BOUNDED_DIM_BYTES,
+) -> DataFrame:
+    """As-of join: every left row picks the right row of the same key
+    with the greatest ``right_time`` <= ``left_time``; several right
+    rows at that same time resolve deterministically to the greatest
+    ``value_col`` (so the right side needs NO pre-dedup pass — one
+    fewer shuffle). Spark has no native as-of join; two compositions,
+    chosen by a size gate:
+
+    * ``array`` — the small-right fast path: the right side collapses
+      to one row per key holding a time-sorted array of (time, value)
+      structs, which a size-gated broadcast hash join attaches to the
+      left; the as-of lookup is ``try_element_at(filter(arr, x.t <=
+      t), -1)`` — pure codegen expressions. THE LEFT SIDE IS NEVER
+      SHUFFLED — at 100 TB the fact stream stays put and only the
+      keyed right arrays move, the same no-fact-shuffle property the
+      star joins pin. Guarded by the same Catalyst size estimate as
+      :func:`broadcast_if_small`; per-key array width is bounded by
+      the right side's per-key row count (orders per customer), not
+      table size.
+    * ``union`` — the general form: tag both sides, union, per-key
+      time-ordered window, ``last(value, ignorenulls)`` carries the
+      latest right value forward. One shuffle+sort of left+right on
+      the key — the right answer when the right side is itself
+      fact-scale (both sides shuffle once; no memory bound).
+
+    At equal timestamps the right row is visible to the left row
+    (<= semantics) in both forms: the array filter uses ``<=``, and
+    the union window sorts the right tag first. The max-value tie rule
+    is likewise structural in both: the sorted struct array ends with
+    the greatest (time, value) pair, and the union window's ordering
+    ends each equal-time run at the greatest ``__v``.
+    """
+    if strategy not in ("auto", "array", "union"):
+        raise ValueError(f"unknown asof strategy {strategy!r}")
+    out_col = out_col or value_col
+    if strategy != "union":
+        keyed = right.groupBy(F.col(right_on).alias("__k")).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(right_time), F.col(value_col)))
+            ).alias("__arr")
+        )
+        size = plan_size_bytes(keyed)
+        if strategy == "array" or (
+            size is not None and size <= max_broadcast_bytes
+        ):
+            looked = left.join(
+                F.broadcast(keyed),
+                left[left_on] == keyed["__k"],
+                "left",
+            ).withColumn(
+                out_col,
+                F.try_element_at(
+                    F.filter(
+                        "__arr",
+                        lambda x: x[right_time] <= F.col(left_time),
+                    ),
+                    F.lit(-1),
+                )[value_col],
+            )
+            return looked.drop("__k", "__arr")
+    tagged_left = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast(
+            right.schema[value_col].dataType
+        ).alias("__v"),
+    )
+    tagged_right = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in left.schema.fields
+            ) + ">"
+        ).alias("__row"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left", "__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_left.unionByName(tagged_right).withColumn(
+        out_col, F.last("__v", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns], out_col
+    )

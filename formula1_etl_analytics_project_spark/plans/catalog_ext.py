@@ -385,46 +385,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks the latest order of the same user
     at-or-before its timestamp.
 
-    Spark lacks a native as-of join; this is the union-window
-    composition: tag both sides, union, per-key time-ordered window,
-    ``last(value, ignorenulls)`` carries the most recent order forward,
-    then keep only event rows. One shuffle on the key - same cost
-    shape as a regular join; no per-group pandas (merge_asof) needed.
-    Orders are pre-deduped to one per (custkey, date) so 'latest' is
-    well-defined on both engines.
+    Spark lacks a native as-of join; ``operators.joins.asof_join``
+    composes one with a size-gated strategy choice. Here the orders
+    side collapses to one sorted (date, orderkey) array per customer
+    (bounded by orders-per-customer, not table size) and broadcasts:
+    THE EVENTS FACT IS NEVER SHUFFLED — the lookup is a filter +
+    try_element_at over the broadcast array, pure codegen. r02's
+    union-window form (still the operator's big-right fallback)
+    shuffled events+orders per key and sorted them (see SCALING.md
+    round-4 section for the measured decomposition). The oracle's
+    MAX(o_orderkey)-per-(custkey, date) dedup is NOT replayed on the
+    Spark side: the operator's tie rule (greatest (time, value) pair
+    wins) makes the dedup structural, saving its whole extra shuffle —
+    the orders side pays exactly ONE shuffle (group-to-array).
     """
+    from formula1_etl_analytics_project_spark.operators.joins import (
+        asof_join,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     orders = read_table(spark, sf_dir, "orders")
-    ord_d = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderkey").alias("o_orderkey")
-    )
-    left = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
-    right = ord_d.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey",
-    )
-    # at equal timestamps the order row sorts first (is_event asc), so
-    # an order AT the event time is visible to it (ASOF <= semantics)
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = left.unionByName(right).withColumn(
-        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
-    )
-    return merged.filter(F.col("is_event") == 1).select(
-        "event_id", F.col("k").alias("user_id"), "last_orderkey"
-    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_col="o_orderkey",
+        out_col="last_orderkey",
+    ).select("event_id", "user_id", "last_orderkey")
 
 
 def _stage_dir(sf_dir: str, kind: str, table: str) -> str:
@@ -2672,6 +2662,7 @@ GROUP BY source
     _CORPUS_SQL,
     tags=("text", "dedup", "filter", "pipeline"),
     gate_priority=True,
+    bench=True,
 )
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-corpus curation pipeline END-TO-END in one

@@ -86,6 +86,7 @@ WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 15 = 0
     _CDC_SQL,
     tags=("sink", "merge", "incremental"),
     gate_priority=True,
+    bench=True,
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A two-wave CDC feed applied to a snapshot through
@@ -205,6 +206,7 @@ FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.m = l.m
     _RESAMPLE_SQL,
     tags=("time", "window"),
     gate_priority=True,
+    bench=True,
 )
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Irregular events -> regular hourly grid with forward fill

@@ -409,6 +409,7 @@ FROM anc GROUP BY anc
     _RECURSIVE_SQL,
     tags=("sql", "recursive", "graph"),
     gate_priority=True,
+    bench=True,
 )
 def q_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE transitive closure (Spark 4 recursive CTEs):
