@@ -416,6 +416,12 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind quality-threshold ablations - the output reports
     what the cut keeps per source.
 
+    Sibling of `operators.sequence.distributed_cumsum` (the
+    mapInPandas two-phase prefix sum used by the sampling operators):
+    this entry pins the pure-JVM variant - bucketed windows, no Python
+    worker - and supports a composite (score desc, id) order, which
+    distributed_cumsum's single ascending key does not.
+
     The oracle states it as the obvious single global running sum.
     The Spark side computes the SAME prefix sum distributed: scores
     live in [0,1], so bucket k = floor((1-ttr)*64) is a deterministic
