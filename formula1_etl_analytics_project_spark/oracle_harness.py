@@ -90,8 +90,19 @@ def canon_cell(v):
         return ("float", repr(float(v)))
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return ("ts", pd.Timestamp(v).isoformat())
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return ("list", tuple(canon_cell(x) for x in v))
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # The driver sorts the raw pandas frame by its columns before
+        # hashing; list/struct/map cells are unhashable/unorderable and
+        # CRASH it (pq_codes' err row in CORRECTNESS_r04.json). Until
+        # round 4 this harness tuple-ized them — strictly more forgiving
+        # than the driver, which is exactly how that bug stayed hidden.
+        # Hard error: entries must join arrays to strings at the output
+        # boundary (the array_agg_orders idiom).
+        raise TypeError(
+            "list/struct/map output cell reaches the oracle boundary "
+            f"({type(v).__name__}: {v!r:.80}); the driver's raw-column "
+            "sort crashes on these — emit a joined string instead"
+        )
     if isinstance(v, bytes):
         return ("bytes", v.hex())
     return ("str", str(v))

@@ -505,7 +505,7 @@ _PQ_CTES = f"""subs AS (
 _PQ_SQL = f"""
 WITH {_PQ_CTES}
 SELECT vec_id,
-       list(code ORDER BY sub_id) AS codes,
+       array_to_string(list(code ORDER BY sub_id), ',') AS codes,
        ROUND(CAST(SUM(CAST(_d AS DECIMAL(38,12))) AS DOUBLE) / 64.0, 6)
          AS recon_mse
 FROM a2 GROUP BY vec_id
@@ -533,13 +533,27 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, corpus never shuffles, strict-left-fold distances,
     cent_id tie-breaks, decimal-cast update means - the same
     cross-engine-reproducible iterative pattern as kmeans_centroids.
+
+    Output contract: ``codes`` is the comma-joined codeword STRING,
+    not an ARRAY<BIGINT> — the driver's oracle comparator sorts the
+    pandas frame by raw columns and crashes on unhashable list cells
+    (round-4's only red row was exactly this entry's array form).
+    Same idiom as `array_agg_orders`; the array-typed operator API
+    (`pq_encode`) is unchanged for in-engine consumers.
     """
     from formula1_etl_analytics_project_spark.operators.similarity import (
         pq_encode,
     )
 
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    return pq_encode(emb, m=4, sub_len=16, k=4)
+    enc = pq_encode(emb, m=4, sub_len=16, k=4)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        "recon_mse",
+    )
 
 
 # ===========================================================================

@@ -44,8 +44,12 @@ _LATE_DIM_SQL = """
 WITH known AS (
   SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
 ), orphan AS (
-  SELECT DISTINCT o_custkey AS c_custkey FROM orders
-  WHERE o_custkey NOT IN (SELECT c_custkey FROM known)
+  -- NOT EXISTS, not NOT IN: NOT IN drops NULL-keyed fact FKs outright
+  -- (NULL comparison), while the Spark twin's left_anti keeps them as
+  -- orphans - NOT EXISTS matches left_anti's NULL semantics exactly.
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM known k
+                    WHERE k.c_custkey = o.o_custkey)
 ), dim AS (
   SELECT c_custkey, FALSE AS is_inferred FROM known
   UNION ALL

@@ -140,7 +140,11 @@ _BUCKET_CASE_SQL = """CASE WHEN n_tok <= 16 THEN 16
      WHEN n_tok <= 32 THEN 32
      WHEN n_tok <= 64 THEN 64
      WHEN n_tok <= 128 THEN 128
-     ELSE 256 END"""
+     WHEN n_tok <= 256 THEN 256
+     WHEN n_tok <= 512 THEN 512
+     WHEN n_tok <= 1024 THEN 1024
+     WHEN n_tok <= 2048 THEN 2048
+     ELSE 4096 END"""
 
 _LENGTH_BUCKET_SQL = rf"""
 WITH t AS (
@@ -149,7 +153,7 @@ WITH t AS (
                          x -> x <> '')) AS n_tok
   FROM documents
 ), b AS (
-  SELECT source, n_tok, {_BUCKET_CASE_SQL} AS bucket_cap
+  SELECT source, LEAST(n_tok, 4096) AS n_tok, {_BUCKET_CASE_SQL} AS bucket_cap
   FROM t WHERE n_tok > 0
 )
 SELECT source, CAST(bucket_cap AS INTEGER) AS bucket_cap,
@@ -177,7 +181,11 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline reads before choosing between fixed-length
     batching (simple, wasteful) and `pack_sequences`-style packing
     (dense, order-destroying). padding_waste = 1 - fill rate of the
-    padded batch.
+    padded batch. The chain tops out at 4096; longer documents land
+    in the 4096 bucket TRUNCATED to the cap (LEAST(n_tok, 4096) on
+    both twins), so real_tokens counts tokens actually trained on and
+    padding_waste can never go negative — the overflow policy a real
+    fixed-context batcher applies.
 
     The bucket is an explicit integer CASE chain, NOT
     pow(2, ceil(log2(n))) - the integer compares are identical in
@@ -202,9 +210,13 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_tok") <= 32, 32)
         .when(F.col("n_tok") <= 64, 64)
         .when(F.col("n_tok") <= 128, 128)
-        .otherwise(256)
+        .when(F.col("n_tok") <= 256, 256)
+        .when(F.col("n_tok") <= 512, 512)
+        .when(F.col("n_tok") <= 1024, 1024)
+        .when(F.col("n_tok") <= 2048, 2048)
+        .otherwise(4096)
         .cast("int"),
-    )
+    ).withColumn("n_tok", F.least(F.col("n_tok"), F.lit(4096)))
     return (
         b.groupBy("source", "bucket_cap")
         .agg(

@@ -143,8 +143,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS nnz,
-       list(feat_idx ORDER BY feat_idx) AS idxs,
-       list(cnt ORDER BY feat_idx) AS vals
+       array_to_string(list(feat_idx ORDER BY feat_idx), ',') AS idxs,
+       array_to_string(list(cnt ORDER BY feat_idx), ',') AS vals
 FROM feats GROUP BY doc_id
 """
 
@@ -152,8 +152,11 @@ FROM feats GROUP BY doc_id
 @_register("feature_hashing", _FEATURE_HASH_SQL, tags=("text", "ml"))
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words: each doc becomes a 64-dim sparse
-    count vector (parallel ``idxs``/``vals`` arrays sorted by index)
-    with the feature index a pure md5 function of the token —
+    count vector (parallel ``idxs``/``vals`` comma-joined STRINGS
+    sorted by index — the driver's oracle comparator cannot sort
+    list cells, so arrays never cross the output boundary; same
+    idiom as `array_agg_orders`/`pq_codes`) with the feature index
+    a pure md5 function of the token —
     ``functions.text.hashed_feature``.
 
     This is the featurizer that scales: NO vocabulary pass, no
@@ -178,8 +181,16 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id",
         "nnz",
-        F.transform("s", lambda x: x.getField("feat_idx")).alias("idxs"),
-        F.transform("s", lambda x: x.getField("cnt")).alias("vals"),
+        F.array_join(
+            F.transform(
+                "s", lambda x: x.getField("feat_idx").cast("string")
+            ),
+            ",",
+        ).alias("idxs"),
+        F.array_join(
+            F.transform("s", lambda x: x.getField("cnt").cast("string")),
+            ",",
+        ).alias("vals"),
     )
 
 

@@ -11,6 +11,11 @@ hashing.  Two DuckDB output types break that round-trip:
 * TIMESTAMP outside pandas' ns range [1677-09-21, 2262-04-11] — e.g. a
   ``9999-12-31`` open-interval sentinel — raises OutOfBoundsDatetime in
   the driver's oracle harness (scd2_history's ``err`` row in r03).
+* LIST / STRUCT / MAP output columns — the driver sorts the raw pandas
+  frame by its columns before hashing, and list cells are unhashable:
+  ``pandas.sort_values`` crashes (pq_codes' ``err`` row in r04). Fix:
+  join arrays to strings at the output boundary (``array_to_string`` /
+  ``array_join`` — the array_agg_orders idiom).
 
 Usage: python scripts/sweep_oracle_types.py [--sf=DIR]
 Prints one line per offending (entry, column) and exits non-zero if any.
@@ -43,6 +48,10 @@ def sweep(con, catalog):
             t = typ.upper()
             if "HUGEINT" in t or "INT128" in t:
                 bad.append((name, col, f"pandas-unrepresentable {typ}"))
+            if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+                bad.append(
+                    (name, col, f"unsortable-in-pandas {typ} (driver crash)")
+                )
             if t.startswith("TIMESTAMP"):
                 ts_cols.append(col)
         if ts_cols:
