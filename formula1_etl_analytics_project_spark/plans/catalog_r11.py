@@ -150,6 +150,7 @@ LIMIT 20
     _BPE_MERGE_SQL,
     tags=("text", "tokenizer"),
     gate_priority=True,
+    bench=True,
 )
 def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One iteration of BPE tokenizer training: corpus-frequency-

@@ -236,6 +236,7 @@ FROM r
     _PENNY_SQL,
     tags=("window", "finance"),
     gate_priority=True,
+    bench=True,
 )
 def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder penny allocation: prorate each order's

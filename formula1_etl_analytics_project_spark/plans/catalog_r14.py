@@ -405,6 +405,7 @@ _N_SCORE_BUCKETS = 64
     _BUDGET_SQL,
     tags=("text", "curation", "sample"),
     gate_priority=True,
+    bench=True,
 )
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy data selection under a global token budget: rank every

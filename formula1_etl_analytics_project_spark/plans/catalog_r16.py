@@ -82,6 +82,7 @@ GROUP BY doc_id
     _NOVELTY_SQL,
     tags=("text", "curation", "dedup"),
     gate_priority=True,
+    bench=True,
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty in corpus (doc_id = ingestion)
@@ -167,6 +168,7 @@ GROUP BY 1, 2
     _STREAM_STATIC_SQL,
     tags=("streaming", "join"),
     gate_priority=True,
+    bench=True,
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join - the enrichment pattern every production

@@ -12,16 +12,16 @@ out the TPC-H sweep and the batching-efficiency axis:
   to power-of-two caps, measure the padding each bucketing policy
   costs).
 
-TPC-H mapping note: after this batch the engine carries Q1 (as
-pricing_summary), Q3, Q4, Q5 (regional_revenue_q5), Q6, Q7, Q8, Q9,
-Q10, Q13, Q17, Q18, Q19, Q21, Q22 as literal shapes. Q2, Q11, Q16
-and Q20 need the partsupp table, which the driver testdata does not
-ship; their SHAPES are covered by `cheapest_supplier_per_part`
-(Q2's group-argmin), `nation_revenue_share` (Q11's
-share-of-global-scalar), `distinct_counts` (Q16's grouped distinct
-count) and `exists_decorrelated` (Q20's nested semi-join chain).
-Q12 is `filtered_agg_surface`'s conditional-aggregate shape and Q14
-is a two-arm conditional ratio the same entry covers.
+TPC-H mapping note: with catalog_r18's Q12/Q14 the engine carries
+Q1 (as pricing_summary), Q3, Q4, Q5 (regional_revenue_q5), Q6, Q7,
+Q8, Q9, Q10, Q12 (column mapping in catalog_r18 - the testdata ships
+no l_shipmode/l_commitdate/l_receiptdate), Q13, Q14, Q15, Q17, Q18,
+Q19, Q21, Q22 as literal queries. Q2, Q11, Q16 and Q20 need the
+partsupp table, which the driver testdata does not ship; their
+SHAPES are covered by `cheapest_supplier_per_part` (Q2's
+group-argmin), `nation_revenue_share` (Q11's share-of-global-scalar),
+`distinct_counts` (Q16's grouped distinct count) and
+`exists_decorrelated` (Q20's nested semi-join chain).
 
 Portability rules as in plans/catalog.py. The length buckets are an
 explicit integer CASE chain, not ceil(log2(n)) - integer compares

@@ -1,0 +1,52 @@
+"""Physical-plan assertions for the round-18 entries: Q12's
+single-column predicates push to the lineitem scan while its
+cross-column compare filters before the aggregate, and Q14's
+one-month window prunes the fact scan with the part side broadcast.
+"""
+
+from __future__ import annotations
+
+from formula1_etl_analytics_project_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].spark(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q12_pushes_inlist_and_window_to_scan(spark):
+    """The IN-list on the grouping column and the one-year shipdate
+    window are single-column predicates: both MUST reach the lineitem
+    parquet scan (a post-scan filter reads the whole fact at 100 TB
+    for a 2-value, one-year slice). The l_shipdate > o_orderdate
+    compare spans tables, so it can only run post-join - but the
+    aggregate must still be partial (map-side combine) and the single
+    CASE column must not duplicate the join."""
+    plan = _plan(spark, "sql_surface_q12")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    lineitem_pushed = " ".join(l for l in pushed if "l_shipdate" in l or "l_returnflag" in l)
+    assert "l_returnflag" in lineitem_pushed
+    assert "l_shipdate" in lineitem_pushed
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # one scan per table, no re-scan (each scan = one Location line)
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_q14_prunes_scan_and_broadcasts_part(spark):
+    """The one-month window must prune the lineitem scan, the small
+    part side must broadcast (no fact shuffle for the join), and both
+    ratio arms must come out of ONE aggregate - a second scan or a
+    sort-merge exchange here is the 100x-scale bottleneck."""
+    plan = _plan(spark, "sql_surface_q14")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    # read only the join/ratio columns from lineitem, not the wide row
+    schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema and "l_quantity" not in schema
