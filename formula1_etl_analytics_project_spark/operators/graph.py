@@ -61,18 +61,24 @@ def pagerank_fixed_point(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("d"))
+    # The per-edge out-degree is loop-INVARIANT: join it onto the edge
+    # list once, outside the loop, so each iteration is one join + one
+    # aggregate instead of two joins + one aggregate (the d column
+    # rides with the edge). The arithmetic is unchanged - rank div d
+    # per edge - so the local-oracle property tests still pin results
+    # bit-exactly.
+    edges_d = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("d")), "src"
+        )
+        .select("src", "dst", "d")
         .localCheckpoint(eager=False)
     )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select("dst", F.expr("`rank` div `d`").alias("c"))
-        )
+        contrib = edges_d.join(
+            ranks, edges_d["src"] == ranks["node"]
+        ).select("dst", F.expr("`rank` div `d`").alias("c"))
         inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         ranks = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
             "node",
