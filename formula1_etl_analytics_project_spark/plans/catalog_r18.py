@@ -1,8 +1,18 @@
-"""Round-18 catalog entries (round 5) - the two conditional-aggregate
-TPC-H queries the round-4 verdict flagged as claimed-by-shape only
-(catalog_r17's mapping note): literal `sql_surface_q12` and
-`sql_surface_q14` close the "Q1-Q22 literal except the 4
-partsupp-blocked" statement exactly.
+"""Round-18 catalog entries (round 5):
+
+* `sql_surface_q12` / `sql_surface_q14` - the two conditional-
+  aggregate TPC-H queries the round-4 verdict flagged as
+  claimed-by-shape only (catalog_r17's mapping note); literal
+  entries close the "Q1-Q22 literal except the 4 partsupp-blocked"
+  statement exactly.
+* `observed_metrics_gate` - in-flight data-quality metrics via
+  ``DataFrame.observe`` (CollectMetrics): quality counters computed
+  DURING the business query's one pass, not by a second scan.
+* `arrow_vector_stats` - ``mapInArrow`` columnar UDF over the
+  embedding corpus: the zero-copy Arrow batch path, completing the
+  engine's Python-UDF matrix (row UDF, pandas UDF, grouped /
+  cogrouped applyInPandas, mapInPandas, applyInPandasWithState,
+  mapInArrow).
 
 Both are SQL-surface entries: the SAME SQL text runs through
 `spark.sql` (over registered temp views) and the DuckDB oracle, so
@@ -29,10 +39,11 @@ Importing this module registers everything into catalog.CATALOG.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from formula1_etl_analytics_project_spark.plans.catalog import _register
 from formula1_etl_analytics_project_spark.sources.readers import (
+    read_table,
     register_views,
 )
 
@@ -130,3 +141,156 @@ def q_sql_surface_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q14_SQL)
+
+
+# ===========================================================================
+# Observed metrics: data-quality counters without a second scan
+# ===========================================================================
+
+_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l_quantity) AS sum_qty,
+       CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+         AS n_returned,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups
+FROM lineitem
+"""
+
+
+@_register(
+    "observed_metrics_gate",
+    _OBSERVE_SQL,
+    tags=("quality", "observe"),
+    gate_priority=True,
+)
+def q_observed_metrics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters collected IN-FLIGHT via
+    ``DataFrame.observe`` (a CollectMetrics node): row count, quantity
+    total and returned-line count ride along the business query's one
+    pass over the fact table - the pipeline pays ZERO extra scans for
+    its quality dashboard. The alternative every naive pipeline ships
+    - re-aggregating the input for each metric - doubles (or worse)
+    the 100 TB read; observe's accumulator-style metrics are computed
+    by the same tasks that do the business work.
+
+    The entry runs a real consumer (the returnflag group count) on
+    the observed frame, then emits one row: the three observed
+    metrics plus the consumer's group count. All values are integer-
+    exact (counts, and a sum of integral quantities in doubles), so
+    cross-engine equality is exact regardless of partial-sum order.
+
+    Spark surface: ``pyspark.sql.Observation`` + ``df.observe`` -
+    plan pinned to contain the CollectMetrics node and only ONE scan
+    of lineitem (tests/test_plan_quality_r18.py).
+    """
+    from pyspark.sql import Observation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias(
+            "n_returned"
+        ),
+    )
+    biz = observed.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+    n_groups = biz.count()  # the one action: fills the observation too
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["sum_qty"]),
+                int(m["n_returned"]),
+                int(n_groups),
+            )
+        ],
+        "n_rows bigint, sum_qty double, n_returned bigint, n_groups bigint",
+    )
+
+
+# ===========================================================================
+# mapInArrow: the zero-copy columnar UDF path
+# ===========================================================================
+
+_ARROW_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+            AS BIGINT) AS argmax_idx
+FROM embeddings
+"""
+
+
+def _arrow_vector_stats_fn(batches):
+    """Arrow-batch kernel: per vector, the positive-component count and
+    the 1-based argmax index. Works on the raw Arrow buffers - the
+    list column flattens to one contiguous float32 array, reshaped and
+    reduced with vectorized numpy; no pandas objects, no per-row
+    Python. Ties and comparisons are exact float ops, so results are
+    bit-identical to the DuckDB list-function oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+            col = col.combine_chunks()
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if len(set(lens.tolist())) == 1:
+            mat = vals[offs[0] : offs[-1]].reshape(n, int(lens[0]))
+            n_pos = (mat > 0).sum(axis=1).astype(np.int64)
+            argmax1 = mat.argmax(axis=1).astype(np.int64) + 1
+        else:  # ragged fallback, still exact
+            n_pos = np.empty(n, dtype=np.int64)
+            argmax1 = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                row = vals[offs[i] : offs[i + 1]]
+                n_pos[i] = int((row > 0).sum())
+                argmax1[i] = int(row.argmax()) + 1
+        yield pa.record_batch(
+            [pa.array(ids), pa.array(n_pos), pa.array(argmax1)],
+            names=["vec_id", "n_pos", "argmax_idx"],
+        )
+
+
+@_register(
+    "arrow_vector_stats",
+    _ARROW_STATS_SQL,
+    tags=("vector", "udf", "arrow"),
+    gate_priority=True,
+)
+def q_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` columnar UDF: per embedding, the positive-
+    component count and 1-based argmax index, computed directly on the
+    Arrow record batches - float32 buffers flattened and reduced with
+    vectorized numpy, never converted to pandas objects. This is the
+    fourth and fastest rung of the Python-UDF ladder (row UDF ->
+    pandas UDF -> mapInPandas -> mapInArrow): for numeric-array
+    kernels the pandas round-trip materializes every list cell as a
+    Python/numpy object, while Arrow hands over the contiguous child
+    buffer zero-copy - the difference between O(rows) object churn
+    and one reshape at 100 TB.
+
+    Only exact operations cross the boundary (comparisons, integer
+    counts, first-wins argmax - numpy and DuckDB's list_position both
+    take the first maximum), so the oracle matches bit-exactly with
+    no rounding discipline needed.
+
+    Shape at 100 TB: embarrassingly parallel one-pass map; the plan
+    is Scan -> MapInArrow with no exchange
+    (tests/test_plan_quality_r18.py pins it).
+    """
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _arrow_vector_stats_fn,
+        "vec_id bigint, n_pos bigint, argmax_idx bigint",
+    )

@@ -50,3 +50,39 @@ def test_q14_prunes_scan_and_broadcasts_part(spark):
     # read only the join/ratio columns from lineitem, not the wide row
     schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_comment" not in schema and "l_quantity" not in schema
+
+
+def test_observe_metrics_ride_the_single_scan(spark):
+    """The observed metrics must come from a CollectMetrics node in
+    the business query's own plan — exactly ONE scan of lineitem; a
+    second scan would mean the quality counters re-read 100 TB."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import Observation, functions as F
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation()
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    biz = observed.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+    plan = biz._sc._jvm.PythonSQLUtils.explainString(
+        biz._jdf.queryExecution(), "formatted"
+    )
+    assert "CollectMetrics" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_arrow_vector_stats_is_scan_then_map_no_exchange(spark):
+    """mapInArrow must lower to a MapInArrow (PythonMapInArrow) node
+    fed straight by the pruned scan — a narrow one-pass map with no
+    exchange and no pandas conversion node."""
+    plan = _plan(spark, "arrow_vector_stats")
+    assert "MapInArrow" in plan
+    # the only exchange allowed is read_table(spread=True)'s local[32]
+    # round-robin split of the single test parquet file — never a
+    # key shuffle or a single-partition collapse around the map
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "label" not in schema  # column pruning reaches the scan
