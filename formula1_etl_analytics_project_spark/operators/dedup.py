@@ -291,6 +291,14 @@ def prefix_jaccard_pairs(
       straight off the sorted array, hashed-shingle arrays ride
       through the candidate join. Measured at sf0.01: 5,866 candidates
       of 124,750 pairs (4.7%); sf0.1: 567k of 12.5M (4.5%).
+      EXCHANGE-VOLUME caveat (round-5 shuffle audit, SCALING.md):
+      carrying the arrays costs ~289 MiB through the exchange at
+      sf0.1 (~48x the 6 MiB input - each prefix token ships its whole
+      array, both sides), vs 3.4 MiB (85x less) for the
+      join-ids-then-fetch form at 1.7s vs 2.9s local wall-clock.
+      Single-host, exchange bytes are ~free and lex wins; on a
+      network-priced cluster ids-then-fetch (the ``"df"`` plumbing)
+      is the only viable form - pick by deployment, both are lossless.
     * ``"df"``: document-frequency ascending (rarest shingles first,
       the AllPairs/PPJoin ordering) - one extra frequency-count pass
       and a per-doc rank window, in exchange for prefixes made of the

@@ -1,0 +1,94 @@
+"""Measure per-query shuffle and scan volume at sf0.1.
+
+For each headline bench query, runs it once warm and diffs the Spark
+UI REST totals (input bytes, shuffle read/write bytes) before and
+after — the quantitative side of SCALING.md's 100 TB arguments: a
+query whose shuffle volume ~= its input volume re-exchanges the whole
+fact table; one whose shuffle is orders of magnitude below input is
+dominated by map-side work and broadcasts, and survives a 1000x
+scale-up on scan bandwidth alone.
+
+Usage: python scripts/measure_shuffle.py [--sf=DIR] [--only=a,b,c]
+Prints one markdown table row per query.
+"""
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--sf="):
+        SF_DIR = a.split("=", 1)[1]
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
+
+
+def _stage_totals(ui: str, app: str) -> dict:
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    tot = {"input": 0, "sh_read": 0, "sh_write": 0}
+    for s in stages:
+        tot["input"] += s.get("inputBytes", 0)
+        tot["sh_read"] += s.get("shuffleReadBytes", 0)
+        tot["sh_write"] += s.get("shuffleWriteBytes", 0)
+    return tot
+
+
+def _fmt(b: float) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if b < 1024 or unit == "GiB":
+            return f"{b:.1f} {unit}"
+        b /= 1024
+    return f"{b:.1f} GiB"
+
+
+def main() -> None:
+    from formula1_etl_analytics_project_spark.plans.catalog import (
+        bench_queries,
+    )
+    from formula1_etl_analytics_project_spark.session import get_spark
+
+    # the engine session disables the UI; this measurement needs its
+    # REST metrics, so turn it on for this process only
+    spark = get_spark(
+        app_name="shuffle-measure",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if ui is None:
+        raise SystemExit(
+            "Spark UI still disabled (session pre-existed?); run this "
+            "script in a fresh process"
+        )
+
+    print("| query | sec | input | shuffle write | shuffle/input |")
+    print("|---|---|---|---|---|")
+    for name, fn in bench_queries().items():
+        if ONLY and name not in ONLY:
+            continue
+        fn(spark, SF_DIR).count()  # warm: JIT + page cache
+        spark.catalog.clearCache()
+        before = _stage_totals(ui, app)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        time.sleep(0.3)  # let the UI store catch up
+        after = _stage_totals(ui, app)
+        inp = after["input"] - before["input"]
+        shw = after["sh_write"] - before["sh_write"]
+        ratio = (shw / inp) if inp else float("nan")
+        print(
+            f"| {name} | {dt:.2f} | {_fmt(inp)} | {_fmt(shw)} "
+            f"| {ratio:.2f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
