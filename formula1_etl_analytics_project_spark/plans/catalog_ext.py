@@ -666,14 +666,24 @@ _SQL_SIMHASH64_SIGS = f"""toked AS (
     tags=("text", "dedup", "lsh"),
 )
 def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-width 64-bit SimHash near-dup pairs (8 bands of 8 bits;
-    pigeonhole: hamming <= 2 < 8 bands, so banding is exact). The
+    """Full-width 64-bit SimHash near-dup pairs (4 bands of 16 bits;
+    pigeonhole: hamming <= 2 < 4 bands, so banding is exact). The
     oracle restates the two-half signature bit-for-bit - including the
     signed pack of the high half - and checks the all-pairs form, so
     both the wide signature and the banded candidate generation are
-    value-verified cross-engine."""
+    value-verified cross-engine.
+
+    Band width is the scale lever (round-5 shuffle audit): random
+    band agreement between NON-near docs is ~2^-band_bits per band,
+    and those false candidates dominate the exchange - measured at
+    sf0.1, 8-bit bands shipped 72.7 MiB of candidates vs 4.9 MiB for
+    16-bit bands (identical 155 result rows, 1.42s -> 1.09s local).
+    The widest band that still satisfies bands > max_hamming is
+    always the right choice: exactness is pigeonhole-guaranteed
+    either way, and candidate volume at corpus scale N grows as
+    N^2 * bands / 2^band_bits."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = simhash_pairs(docs, nbits=64, max_hamming=2, band_bits=8)
+    pairs = simhash_pairs(docs, nbits=64, max_hamming=2, band_bits=16)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
