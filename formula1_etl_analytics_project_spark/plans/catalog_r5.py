@@ -361,12 +361,24 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales is EXPECTED (banding trades recall for candidate volume);
     the point is that the trade is measured, not assumed."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    truth = prefix_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # truth feeds TWO consumers (the semi-join and its own count);
+    # without a boundary the whole prefix-filtered join re-executes
+    # per consumer - the round-5 full-catalog shuffle audit measured
+    # this entry at 604 MiB through the exchange (~2x the prefix
+    # join's own 289 MiB) for a 256-row pair set. Checkpointing the
+    # tiny pair results makes each expensive join run exactly once.
+    truth = (
+        prefix_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
-    lsh = minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_k=3, jaccard_threshold=0.5
-    ).select("id_a", "id_b")
+    lsh = (
+        minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, shingle_k=3, jaccard_threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     caught = truth.join(lsh, ["id_a", "id_b"], "left_semi")
     agg_true = truth.agg(F.count("*").alias("n_true"))
     agg_caught = caught.agg(F.count("*").alias("n_caught"))
