@@ -21,11 +21,14 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.1"
 ONLY = None
+ALL = False  # --all: sweep the whole catalog, not just the bench set
 for a in sys.argv[1:]:
     if a.startswith("--sf="):
         SF_DIR = a.split("=", 1)[1]
     if a.startswith("--only="):
         ONLY = set(a.split("=", 1)[1].split(","))
+    if a == "--all":
+        ALL = True
 
 
 def _stage_totals(ui: str, app: str) -> dict:
@@ -50,6 +53,7 @@ def _fmt(b: float) -> str:
 
 def main() -> None:
     from formula1_etl_analytics_project_spark.plans.catalog import (
+        CATALOG,
         bench_queries,
     )
     from formula1_etl_analytics_project_spark.session import get_spark
@@ -68,9 +72,12 @@ def main() -> None:
             "script in a fresh process"
         )
 
+    queries = (
+        {n: s.spark for n, s in CATALOG.items()} if ALL else bench_queries()
+    )
     print("| query | sec | input | shuffle write | shuffle/input |")
     print("|---|---|---|---|---|")
-    for name, fn in bench_queries().items():
+    for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
         fn(spark, SF_DIR).count()  # warm: JIT + page cache
