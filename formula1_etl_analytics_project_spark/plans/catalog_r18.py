@@ -305,6 +305,7 @@ def q_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix_jaccard_pairs_df",
     None,  # set below: shares prefix_jaccard_pairs' oracle verbatim
     tags=("text", "dedup", "ssjoin"),
+    bench=True,
 )
 def q_prefix_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-ordered / join-ids-then-fetch form of the exact
@@ -344,3 +345,156 @@ def _wire_prefix_df_oracle() -> None:
 
 
 _wire_prefix_df_oracle()
+
+
+# ===========================================================================
+# Count-min sketch: frequency estimation + the mergeability gate
+# ===========================================================================
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+
+
+def _sql_cms_hash(j: str, x: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' "
+        f"|| CAST({x} AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W}"
+    )
+
+
+_CMS_SQL = f"""
+WITH rows_j AS (
+  SELECT l_partkey, j, {_sql_cms_hash('j', 'l_partkey')} AS bucket,
+         l_orderkey % 2 AS half
+  FROM lineitem CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                            AS j)
+), cells AS (
+  SELECT j, bucket, COUNT(*) AS c FROM rows_j GROUP BY j, bucket
+), cells_half AS (
+  SELECT j, bucket, half, COUNT(*) AS c FROM rows_j
+  GROUP BY j, bucket, half
+), cells_merged AS (
+  SELECT j, bucket, SUM(c) AS c FROM cells_half GROUP BY j, bucket
+), items AS (
+  SELECT l_partkey, COUNT(*) AS true_cnt
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY true_cnt DESC, l_partkey LIMIT 10
+), est AS (
+  SELECT i.l_partkey, i.true_cnt,
+         MIN(c.c) AS est_cnt, MIN(m.c) AS est_merged
+  FROM items i
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) g
+  JOIN cells c
+    ON c.j = g.j AND c.bucket = {_sql_cms_hash('g.j', 'i.l_partkey')}
+  JOIN cells_merged m
+    ON m.j = g.j AND m.bucket = {_sql_cms_hash('g.j', 'i.l_partkey')}
+  GROUP BY i.l_partkey, i.true_cnt
+)
+SELECT l_partkey AS partkey,
+       CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt >= true_cnt AS INT) AS never_underestimates,
+       CAST(est_merged = est_cnt AS INT) AS merge_exact
+FROM est
+ORDER BY true_cnt DESC, partkey
+"""
+
+
+@_register(
+    "countmin_sketch_gate",
+    _CMS_SQL,
+    tags=("agg", "approx", "sketch"),
+)
+def q_countmin_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its two provable
+    invariants gated per item: the estimate NEVER underestimates
+    (each of the d=4 hash rows upper-bounds the count; min of upper
+    bounds is an upper bound), and the sketch is MERGEABLE (cells
+    built on the two l_orderkey-parity halves and summed elementwise
+    must estimate IDENTICALLY to the whole-corpus sketch - integer
+    equality, not approximation). Completes the mergeable-sketch
+    family: HLL re-aggregation (`sketch_rollup_gate`, distincts),
+    approx_percentile (`approx_agg_gate`, quantiles), CMS here
+    (frequencies) - the three sketches a 100 TB telemetry rollup
+    actually ships.
+
+    Everything is integer-exact (md5-derived buckets, integer counts,
+    MIN over 4 cells), so the DuckDB twin matches bit-for-bit with no
+    rounding discipline. The tracked items are the true top-10
+    partkeys (total-order tie-break).
+
+    Shape at 100 TB: the sketch build is ONE map-side-combinable
+    aggregate producing d*w = 256 cells regardless of input size -
+    the whole point of the sketch; the probe joins 10 items against a
+    256-row broadcast. The d-way row expansion is a flatMap on the
+    fact scan, shuffling only (j, bucket) partial counts.
+    """
+    li = read_table(spark, sf_dir, "lineitem", spread=True)
+
+    def bucket(j_col, x_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", j_col.cast("string"), x_col.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rows_j = li.select(
+        "l_partkey", (F.col("l_orderkey") % 2).alias("half")
+    ).select(
+        "l_partkey",
+        "half",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_CMS_D)])
+        ).alias("j"),
+    ).withColumn("bucket", bucket(F.col("j"), F.col("l_partkey")))
+    cells = rows_j.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    cells_half = rows_j.groupBy("j", "bucket", "half").agg(
+        F.count("*").alias("c")
+    )
+    cells_merged = cells_half.groupBy("j", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+    items = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "l_partkey")
+        .limit(10)
+    )
+    probes = items.select(
+        "l_partkey",
+        "true_cnt",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_CMS_D)])
+        ).alias("j"),
+    ).withColumn("bucket", bucket(F.col("j"), F.col("l_partkey")))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .join(
+            F.broadcast(cells_merged.withColumnRenamed("c", "cm")),
+            ["j", "bucket"],
+        )
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"), F.min("cm").alias("est_merged"))
+    )
+    return est.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("true_cnt").cast("bigint"),
+        F.col("est_cnt").cast("bigint"),
+        (F.col("est_cnt") >= F.col("true_cnt")).cast("int").alias(
+            "never_underestimates"
+        ),
+        (F.col("est_merged") == F.col("est_cnt")).cast("int").alias(
+            "merge_exact"
+        ),
+    ).orderBy(F.desc("true_cnt"), "partkey")
