@@ -16,6 +16,11 @@ hashing.  Two DuckDB output types break that round-trip:
   ``pandas.sort_values`` crashes (pq_codes' ``err`` row in r04). Fix:
   join arrays to strings at the output boundary (``array_to_string`` /
   ``array_join`` — the array_agg_orders idiom).
+* Non-finite DOUBLE values (NaN / Inf) — the local harness folds NaN
+  to null (pandas semantics); whether the driver does the same is
+  unverified, and the two engines produce NaN from different
+  expressions (0/0 vs log(0)), so no entry may emit one. Checked by
+  value at the sweep's SF (preventive — zero instances today).
 
 Usage: python scripts/sweep_oracle_types.py [--sf=DIR]
 Prints one line per offending (entry, column) and exits non-zero if any.
@@ -44,6 +49,7 @@ def sweep(con, catalog):
             continue
         desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
         ts_cols = []
+        float_cols = []
         for col, typ, *_ in desc:
             t = typ.upper()
             if "HUGEINT" in t or "INT128" in t:
@@ -54,6 +60,18 @@ def sweep(con, catalog):
                 )
             if t.startswith("TIMESTAMP"):
                 ts_cols.append(col)
+            if t in ("DOUBLE", "FLOAT", "REAL"):
+                float_cols.append(col)
+        if float_cols:
+            checks = ", ".join(
+                f'MAX(NOT isfinite("{c}")) AS "{c}"' for c in float_cols
+            )
+            row = con.execute(
+                f"SELECT {checks} FROM ({spec.oracle})"
+            ).fetchone()
+            for c, out in zip(float_cols, row):
+                if out:
+                    bad.append((name, c, "non-finite double (NaN/Inf)"))
         if ts_cols:
             checks = ", ".join(
                 f'MAX("{c}" > {PANDAS_TS_MAX} OR "{c}" < {PANDAS_TS_MIN})'
