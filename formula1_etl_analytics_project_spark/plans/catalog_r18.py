@@ -13,6 +13,11 @@
   engine's Python-UDF matrix (row UDF, pandas UDF, grouped /
   cogrouped applyInPandas, mapInPandas, applyInPandasWithState,
   mapInArrow).
+* `rrf_fusion` - reciprocal-rank fusion (k=60) of a lexical and a
+  semantic retrieval arm: the hybrid-search combiner over the
+  catalog's sparse (`bm25_doc_scores`) and dense (`ann_bruteforce`)
+  scorer shapes; both arms end in TakeOrderedAndProject and the
+  fusion runs on k-row frames.
 
 Both are SQL-surface entries: the SAME SQL text runs through
 `spark.sql` (over registered temp views) and the DuckDB oracle, so
@@ -498,3 +503,140 @@ def q_countmin_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_exact"
         ),
     ).orderBy(F.desc("true_cnt"), "partkey")
+
+
+# ===========================================================================
+# Reciprocal-rank fusion of lexical + semantic retrieval
+# ===========================================================================
+
+from pyspark.sql import Window  # noqa: E402
+
+from formula1_etl_analytics_project_spark.functions.text import tokens  # noqa: E402
+from formula1_etl_analytics_project_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+)
+from formula1_etl_analytics_project_spark.plans.catalog import (  # noqa: E402
+    _sql_cosine,
+)
+
+_RRF_TERMS = ("spark", "join", "window")
+_RRF_K = 60
+_RRF_TOPK = 20
+
+_RRF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), lex_top AS (
+  SELECT doc_id, COUNT(*) AS lex_score
+  FROM tok
+  WHERE tok IN ({', '.join(repr(t) for t in _RRF_TERMS)})
+  GROUP BY doc_id
+  ORDER BY lex_score DESC, doc_id
+  LIMIT {_RRF_TOPK}
+), lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+  FROM lex_top
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+), sem_top AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_sql_cosine('e.embedding', 'q.qvec')}, 6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, e.vec_id
+  LIMIT {_RRF_TOPK}
+), semr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+  FROM sem_top
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+       ROUND(
+         CASE WHEN l.lex_rank IS NULL THEN 0.0
+              ELSE 1.0 / ({_RRF_K}.0 + CAST(l.lex_rank AS DOUBLE)) END
+         + CASE WHEN s.sem_rank IS NULL THEN 0.0
+                ELSE 1.0 / ({_RRF_K}.0 + CAST(s.sem_rank AS DOUBLE)) END,
+         9) AS rrf_score
+FROM lexr l
+FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
+@_register(
+    "rrf_fusion",
+    _RRF_SQL,
+    tags=("text", "vector", "retrieval"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two independent retrieval
+    arms - lexical (query-term frequency, the posting-list shape of
+    `bm25_doc_scores`) and semantic (exact cosine vs the vec_id=0
+    query, the `ann_bruteforce` shape) - the standard hybrid-search
+    combiner a RAG/curation stack runs over sparse + dense indexes.
+    Output: every doc in either arm's top-20, with its per-arm rank
+    (0 = not retrieved by that arm, never NULL - a nullable BIGINT
+    materializes as float64 in pandas and breaks the driver's
+    int/float-distinct hash) and rrf = sum over arms of 1/(60+rank).
+
+    Determinism: the lexical score is an exact integer; the semantic
+    score is the round-6 cosine `ann_bruteforce` already proved
+    hash-stable cross-engine; both arms order by (score, doc_id) - a
+    total order - BEFORE the LIMIT, so the top-20 sets are identical;
+    rrf is the same two-term IEEE-double expression evaluated in the
+    same operand order in both engines (round-9 is cosmetic).
+
+    Shape at 100 TB: each arm ends in TakeOrderedAndProject
+    (per-partition heaps, k-row driver merge - never a global sort);
+    the lexical explode is pre-filtered to the query terms, so
+    everything downstream is query-sized; the corpus-scale cosine is
+    a narrow map over the embedding scan. The ROW_NUMBER windows and
+    the full-outer fusion join run on two <= 20-row frames (bounded
+    by k, broadcastable); at no point does a corpus-sized set cross
+    an unpartitioned window.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    lex_top = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    sem_top = brute_force_topk(emb, query_id=0, k=_RRF_TOPK)
+    semr = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.col("vec_id")))
+        .alias("sem_rank"),
+    )
+    arm = lambda c: F.when(  # noqa: E731
+        F.col(c) > 0,
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col(c).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_score", F.round(arm("lex_rank") + arm("sem_rank"), 9)
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )

@@ -86,3 +86,26 @@ def test_arrow_vector_stats_is_scan_then_map_no_exchange(spark):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in schema  # column pruning reaches the scan
+
+
+def test_rrf_fusion_arms_take_ordered_and_prune_scans(spark):
+    """Both retrieval arms MUST end in TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge) - a global sort to
+    pick a top-20 is the 100 TB bottleneck. The query-vector lookup
+    (vec_id = 0) and the corpus-side exclusion (vec_id <> 0) must
+    reach the embeddings parquet scans as pushed filters, and the
+    fusion join + rank windows run on two <= k-row frames, so no
+    corpus-sized set may cross an unpartitioned window (the plan's
+    Window nodes sit directly above the TakeOrdered k-row results)."""
+    plan = _plan(spark, "rrf_fusion")
+    # formatted explain lists each node up to twice (tree + detail):
+    # 2 arm nodes -> 2-4 mentions; more would be a third top-k stage
+    assert 2 <= plan.count("TakeOrderedAndProject") <= 4
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(vec_id,0)" in pushed
+    assert "Not(EqualTo(vec_id,0))" in pushed
+    assert "CartesianProduct" not in plan
+    # windows rank the k-row TakeOrdered outputs, never a raw scan:
+    # formatted explain lists each node twice (tree + detail), so the
+    # 2 arm windows appear as at most 4 mentions
+    assert plan.count("Window") <= 4
