@@ -18,6 +18,11 @@
   catalog's sparse (`bm25_doc_scores`) and dense (`ann_bruteforce`)
   scorer shapes; both arms end in TakeOrderedAndProject and the
   fusion runs on k-row frames.
+* `prf_query_expansion` - pseudo-relevance feedback (RM3 shape):
+  the lexical top-20 docs are mined for expansion terms ranked by
+  in-feedback frequency with corpus document-frequency as the
+  discriminativeness tiebreak; all-integer ranking, feedback set and
+  candidate list broadcast into the corpus token stream.
 
 Both are SQL-surface entries: the SAME SQL text runs through
 `spark.sql` (over registered temp views) and the DuckDB oracle, so
@@ -639,4 +644,111 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score", F.round(arm("lex_rank") + arm("sem_rank"), 9)
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
+    )
+
+
+# ===========================================================================
+# Pseudo-relevance-feedback query expansion (RM3 shape)
+# ===========================================================================
+
+_PRF_TOPN = 15
+
+_PRF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), lex_top AS (
+  SELECT doc_id, COUNT(*) AS lex_score
+  FROM tok
+  WHERE tok IN ({', '.join(repr(t) for t in _RRF_TERMS)})
+  GROUP BY doc_id
+  ORDER BY lex_score DESC, doc_id
+  LIMIT {_RRF_TOPK}
+), cand AS (
+  SELECT t.tok AS term,
+         CAST(COUNT(*) AS BIGINT) AS tf_top,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS docs_top
+  FROM tok t
+  JOIN lex_top l ON t.doc_id = l.doc_id
+  WHERE t.tok NOT IN ({', '.join(repr(t) for t in _RRF_TERMS)})
+  GROUP BY t.tok
+), dfc AS (
+  SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_corpus
+  FROM tok
+  WHERE tok IN (SELECT term FROM cand)
+  GROUP BY tok
+)
+SELECT c.term, c.tf_top, c.docs_top, d.df_corpus
+FROM cand c
+JOIN dfc d ON c.term = d.term
+ORDER BY c.tf_top DESC, d.df_corpus ASC, c.term
+LIMIT {_PRF_TOPN}
+"""
+
+
+@_register(
+    "prf_query_expansion",
+    _PRF_SQL,
+    tags=("text", "retrieval"),
+)
+def q_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3/Rocchio shape): take the
+    lexical arm's top-20 documents for the fixed query (the same
+    posting-list-filtered top-k as `rrf_fusion`), and mine them for
+    expansion terms - ranked by frequency inside the feedback set
+    (tf_top DESC) with corpus document-frequency as the
+    discriminativeness tiebreak (df_corpus ASC: prefer terms that are
+    dense in the relevant set but rare corpus-wide), then term. This
+    is the query-rewrite stage a hybrid retrieval stack runs between
+    first-pass ranking and the final fused pass, completing the
+    catalog's retrieval family: score (`bm25_doc_scores`), dense
+    top-k (`ann_bruteforce`), fusion (`rrf_fusion`), feedback (this).
+
+    Determinism: every ranking input is an exact integer (term counts
+    and distinct-doc counts) and the final ORDER BY is total
+    (tf_top, df_corpus, term) - no floats anywhere.
+
+    Shape at 100 TB: the feedback set is k rows and BROADCAST into
+    the corpus token stream (a broadcast-hash semi-join - the corpus
+    never shuffles to find its 20 relevant docs); candidate term
+    stats aggregate with map-side combine; the corpus-wide df pass is
+    semi-join-pruned to candidate terms (bounded by the feedback
+    set's vocabulary) before its distinct-doc aggregate; the final
+    join and top-15 run on vocabulary-sized frames ending in
+    TakeOrderedAndProject.
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    lex_top = (
+        tok.filter(F.col("tok").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+    cand = (
+        tok.join(F.broadcast(lex_top.select("doc_id")), "doc_id")
+        .filter(~F.col("tok").isin(*_RRF_TERMS))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf_top"),
+            F.countDistinct("doc_id").cast("bigint").alias("docs_top"),
+        )
+    )
+    dfc = (
+        tok.join(
+            F.broadcast(cand.select("term")),
+            tok["tok"] == F.col("term"),
+            "left_semi",
+        )
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df_corpus"))
+    )
+    return (
+        cand.join(dfc, "term")
+        .select("term", "tf_top", "docs_top", "df_corpus")
+        .orderBy(F.desc("tf_top"), F.asc("df_corpus"), "term")
+        .limit(_PRF_TOPN)
     )

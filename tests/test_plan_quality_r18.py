@@ -109,3 +109,17 @@ def test_rrf_fusion_arms_take_ordered_and_prune_scans(spark):
     # formatted explain lists each node twice (tree + detail), so the
     # 2 arm windows appear as at most 4 mentions
     assert plan.count("Window") <= 4
+
+
+def test_prf_expansion_broadcasts_feedback_set_no_smj(spark):
+    """The 20-row feedback set and the candidate-term list MUST reach
+    the corpus token stream as broadcast-hash joins - a sort-merge
+    exchange here shuffles the full corpus to meet 20 rows. All top-k
+    stages lower to TakeOrderedAndProject (never a global sort), and
+    the ranking is all-integer so no float expression appears at the
+    boundary."""
+    plan = _plan(spark, "prf_query_expansion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
