@@ -18,6 +18,11 @@
   catalog's sparse (`bm25_doc_scores`) and dense (`ann_bruteforce`)
   scorer shapes; both arms end in TakeOrderedAndProject and the
   fusion runs on k-row frames.
+* `k_anonymity_audit` - k-anonymity / l-diversity release gate over
+  structured quasi-identifier columns: per (nationkey, mktsegment)
+  equivalence class, its size and sensitive-value diversity with
+  pass/fail flags - one map-side-combinable aggregate, the privacy
+  sibling of `pii_redact_docs`.
 * `prf_query_expansion` - pseudo-relevance feedback (RM3 shape):
   the lexical top-20 docs are mined for expansion terms ranked by
   in-feedback frequency with corpus document-frequency as the
@@ -652,6 +657,75 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PRF_TOPN = 15
+
+# ===========================================================================
+# k-anonymity / l-diversity privacy audit
+# ===========================================================================
+
+_KANON_K = 15
+_KANON_SQL = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS l_diversity,
+       CAST(COUNT(*) >= {_KANON_K} AS INT) AS k_ok,
+       CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) >= 2
+            AS INT) AS l_ok
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@_register(
+    "k_anonymity_audit",
+    _KANON_SQL,
+    tags=("quality", "privacy", "agg"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier pair
+    (c_nationkey, c_mktsegment): per equivalence class, its size (the
+    k in k-anonymity - any class below k re-identifies its members),
+    and the number of distinct sensitive values it contains (the l in
+    l-diversity, sensitive attribute = account-balance sign - a class
+    where everyone shares the sensitive value leaks it even at large
+    k). This is the release gate a training-data pipeline runs before
+    publishing a table keyed on demographic-shaped columns - the
+    privacy sibling of `pii_redact_docs` (which scrubs free text;
+    this audits the STRUCTURED columns redaction cannot touch).
+
+    Everything is integer-exact (class counts, a binary sensitive
+    value, integer thresholds), so the DuckDB twin matches
+    bit-for-bit with no rounding discipline.
+
+    Shape at 100 TB: ONE hash aggregate over the QI key - count is
+    map-side combinable outright, and the distinct-over-a-binary
+    rides the same exchange (Spark plans count(DISTINCT) via Expand,
+    but the expansion factor is the 2-value sensitive domain, not the
+    row count); output is |QI classes| rows, bounded by the QI
+    domain, never by the corpus. The remediation loop (generalize QI
+    columns until every class passes) re-runs this same aggregate on
+    coarser keys - each iteration is one pass, no joins anywhere.
+    """
+    cust = read_table(spark, sf_dir, "customer", spread=True)
+    sensitive = F.when(F.col("c_acctbal") < 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.countDistinct(sensitive).cast("bigint").alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_diversity",
+            (F.col("group_size") >= _KANON_K).cast("int").alias("k_ok"),
+            (F.col("l_diversity") >= 2).cast("int").alias("l_ok"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
 
 _PRF_SQL = rf"""
 WITH tok AS (
