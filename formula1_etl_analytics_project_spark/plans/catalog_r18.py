@@ -23,6 +23,10 @@
   equivalence class, its size and sensitive-value diversity with
   pass/fail flags - one map-side-combinable aggregate, the privacy
   sibling of `pii_redact_docs`.
+* `k_anonymity_generalize` - one iteration of the remediation loop:
+  failing classes coarsen their finest QI column (segment -> 'ALL')
+  and merge at nation level; the loop re-runs on the bounded class
+  table, so the corpus is scanned exactly once.
 * `prf_query_expansion` - pseudo-relevance feedback (RM3 shape):
   the lexical top-20 docs are mined for expansion terms ranked by
   in-feedback frequency with corpus document-frequency as the
@@ -653,6 +657,95 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# k-anonymity generalization step (the remediation loop's iteration)
+# ===========================================================================
+
+_KANON_K = 15
+
+_KGEN_SQL = f"""
+WITH g0 AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), kept AS (
+  SELECT c_nationkey, c_mktsegment AS qi_segment, n, 0 AS level
+  FROM g0 WHERE n >= {_KANON_K}
+), merged AS (
+  SELECT c_nationkey, 'ALL' AS qi_segment,
+         CAST(SUM(n) AS BIGINT) AS n, 1 AS level
+  FROM g0 WHERE n < {_KANON_K} GROUP BY c_nationkey
+)
+SELECT c_nationkey, qi_segment,
+       CAST(n AS BIGINT) AS group_size,
+       CAST(level AS INT) AS level,
+       CAST(n >= {_KANON_K} AS INT) AS k_ok
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM merged)
+ORDER BY c_nationkey, qi_segment
+"""
+
+
+@_register(
+    "k_anonymity_generalize",
+    _KGEN_SQL,
+    tags=("quality", "privacy", "agg"),
+)
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of the k-anonymity REMEDIATION loop: equivalence
+    classes on (c_nationkey, c_mktsegment) that already hold >= k
+    members are released as-is (level 0); failing classes have their
+    finest quasi-identifier column generalized away (segment -> 'ALL')
+    and merge into one nation-level class (level 1), re-flagged
+    against k - the classes `k_anonymity_audit` flags are exactly the
+    ones this step coarsens. A full enforcement run repeats this per
+    generalization level until every class passes or the QI hierarchy
+    is exhausted; each iteration is this same shape on the CLASS
+    table, so iteration cost is bounded by the QI domain, not the
+    corpus.
+
+    Everything is integer-exact (class counts, SUM of counts cast to
+    BIGINT before the cross-engine boundary - the HUGEINT trap, a
+    literal level tag), so the DuckDB twin matches bit-for-bit.
+
+    Shape at 100 TB: one corpus-scale hash aggregate (map-side
+    combinable) produces the |QI classes|-row class table; the
+    pass/fail split, the nation-level re-merge, and the UNION all run
+    on that bounded table - the corpus is scanned exactly once no
+    matter how many generalization levels the loop walks.
+    """
+    cust = read_table(spark, sf_dir, "customer", spread=True)
+    g0 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    kept = g0.filter(F.col("n") >= _KANON_K).select(
+        "c_nationkey",
+        F.col("c_mktsegment").alias("qi_segment"),
+        "n",
+        F.lit(0).alias("level"),
+    )
+    merged = (
+        g0.filter(F.col("n") < _KANON_K)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "c_nationkey",
+            F.lit("ALL").alias("qi_segment"),
+            "n",
+            F.lit(1).alias("level"),
+        )
+    )
+    return (
+        kept.unionByName(merged)
+        .select(
+            "c_nationkey",
+            "qi_segment",
+            F.col("n").cast("bigint").alias("group_size"),
+            F.col("level").cast("int").alias("level"),
+            (F.col("n") >= _KANON_K).cast("int").alias("k_ok"),
+        )
+        .orderBy("c_nationkey", "qi_segment")
+    )
+
+
+# ===========================================================================
 # Pseudo-relevance-feedback query expansion (RM3 shape)
 # ===========================================================================
 
@@ -662,7 +755,6 @@ _PRF_TOPN = 15
 # k-anonymity / l-diversity privacy audit
 # ===========================================================================
 
-_KANON_K = 15
 _KANON_SQL = f"""
 SELECT c_nationkey,
        c_mktsegment,
