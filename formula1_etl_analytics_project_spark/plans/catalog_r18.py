@@ -707,33 +707,35 @@ def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one corpus-scale hash aggregate (map-side
     combinable) produces the |QI classes|-row class table; the
-    pass/fail split, the nation-level re-merge, and the UNION all run
-    on that bounded table - the corpus is scanned exactly once no
-    matter how many generalization levels the loop walks.
+    pass/fail retag and the nation-level re-merge are a second
+    aggregate on that bounded table (NOT a union of two filtered
+    branches, which Catalyst would plan as two corpus scans - no
+    subtree CSE) - the corpus is scanned exactly once no matter how
+    many generalization levels the loop walks.
     """
     cust = read_table(spark, sf_dir, "customer", spread=True)
     g0 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("n")
     )
-    kept = g0.filter(F.col("n") >= _KANON_K).select(
+    # One pass, no union-of-branches: a UNION ALL of two filters of g0
+    # would make Catalyst scan (and aggregate) the corpus TWICE - no
+    # subtree CSE. Instead each class tags its own generalization
+    # target and the class table re-aggregates on it: passing classes
+    # are unique on (nation, segment, 0) so SUM(n) = n; failing ones
+    # merge into (nation, 'ALL', 1).
+    retag = g0.select(
         "c_nationkey",
-        F.col("c_mktsegment").alias("qi_segment"),
+        F.when(
+            F.col("n") >= _KANON_K, F.col("c_mktsegment")
+        ).otherwise(F.lit("ALL")).alias("qi_segment"),
+        F.when(F.col("n") >= _KANON_K, F.lit(0)).otherwise(F.lit(1)).alias(
+            "level"
+        ),
         "n",
-        F.lit(0).alias("level"),
-    )
-    merged = (
-        g0.filter(F.col("n") < _KANON_K)
-        .groupBy("c_nationkey")
-        .agg(F.sum("n").alias("n"))
-        .select(
-            "c_nationkey",
-            F.lit("ALL").alias("qi_segment"),
-            "n",
-            F.lit(1).alias("level"),
-        )
     )
     return (
-        kept.unionByName(merged)
+        retag.groupBy("c_nationkey", "qi_segment", "level")
+        .agg(F.sum("n").alias("n"))
         .select(
             "c_nationkey",
             "qi_segment",

@@ -123,3 +123,25 @@ def test_prf_expansion_broadcasts_feedback_set_no_smj(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_generalize_scans_corpus_once(spark):
+    """The remediation step must be ONE corpus scan: the naive
+    union-of-filtered-branches form re-plans the base aggregate per
+    branch (Catalyst has no subtree CSE), doubling a 100 TB read. The
+    retag+re-aggregate form keeps a single customer scan with a
+    map-side-combinable first aggregate; the second aggregate runs on
+    the |QI classes|-row class table."""
+    plan = _plan(spark, "k_anonymity_generalize")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in plan  # corpus aggregate combines map-side
+
+
+def test_k_anonymity_audit_is_one_aggregate_no_join(spark):
+    """The audit is a pure hash aggregate over the QI key - any join
+    or second scan in this plan would be a smell (the sensitive-value
+    distinct rides the same exchange via Expand, factor = the 2-value
+    sensitive domain, not the row count)."""
+    plan = _plan(spark, "k_anonymity_audit")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
