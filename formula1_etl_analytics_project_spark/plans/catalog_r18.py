@@ -23,6 +23,10 @@
   equivalence class, its size and sensitive-value diversity with
   pass/fail flags - one map-side-combinable aggregate, the privacy
   sibling of `pii_redact_docs`.
+* `t_closeness_audit` - the triad's distribution check: per class,
+  |p_sensitive - p_global| (variational distance, exact for a binary
+  sensitive attribute) with the global distribution from an
+  empty-OVER window on the bounded class table, never the corpus.
 * `k_anonymity_generalize` - one iteration of the remediation loop:
   failing classes coarsen their finest QI column (segment -> 'ALL')
   and merge at nation level; the loop re-runs on the bounded class
@@ -820,6 +824,98 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ===========================================================================
+# t-closeness: sensitive-distribution distance per equivalence class
+# ===========================================================================
+
+_TCLOSE_T = 0.2
+
+_TCLOSE_SQL = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n,
+         SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS neg
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+), w AS (
+  SELECT c_nationkey, c_mktsegment, n, neg,
+         SUM(n) OVER () AS gn,
+         SUM(neg) OVER () AS gneg
+  FROM cls
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n AS BIGINT) AS group_size,
+       ROUND(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_neg,
+       ROUND(ABS(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(gneg AS DOUBLE) / CAST(gn AS DOUBLE)), 9) AS t_dist,
+       CAST(ABS(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(gneg AS DOUBLE) / CAST(gn AS DOUBLE)) <= {_TCLOSE_T}
+            AS INT) AS t_ok
+FROM w
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@_register(
+    "t_closeness_audit",
+    _TCLOSE_SQL,
+    tags=("quality", "privacy", "agg"),
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit, completing the structured-privacy triad
+    (k-anonymity: class size; l-diversity: sensitive-value count;
+    t-closeness: sensitive-value DISTRIBUTION): per equivalence class
+    on (c_nationkey, c_mktsegment), the distance between the class's
+    sensitive distribution and the table-wide one - for the binary
+    sensitive attribute (account-balance sign) the variational /
+    earth-mover distance collapses to |p_class - p_global|. A class
+    can pass k and l yet still leak: if 95% of one class is negative
+    vs 10% globally, membership alone shifts an attacker's belief -
+    exactly what t-closeness bounds.
+
+    Cross-engine float discipline (the rrf_fusion precedent): every
+    input to the ratios is an exact integer; each ratio is ONE double
+    division of int64-exact operands (correctly rounded, identical
+    IEEE in both engines); the distance is the same two-term
+    expression in the same operand order; the t_ok flag compares the
+    UNROUNDED distance so the decision and the displayed round-9
+    value cannot disagree between engines.
+
+    Shape at 100 TB: one corpus-scale hash aggregate (map-side
+    combinable) to the |QI classes|-row class table; the global
+    distribution comes from an empty-OVER window on THAT bounded
+    table (125 rows at sf0.1) - never on the corpus - so the plan is
+    one scan, one exchange, one class-table window.
+    """
+    from pyspark.sql import Window as W
+
+    cust = read_table(spark, sf_dir, "customer", spread=True)
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("c_acctbal") < 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("neg"),
+    )
+    w = W.partitionBy()
+    p = F.col("neg").cast("double") / F.col("n").cast("double")
+    gp = F.sum("neg").over(w).cast("double") / F.sum("n").over(w).cast(
+        "double"
+    )
+    dist = F.abs(p - gp)
+    return (
+        cls.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("group_size"),
+            F.round(p, 9).alias("p_neg"),
+            F.round(dist, 9).alias("t_dist"),
+            (dist <= F.lit(_TCLOSE_T)).cast("int").alias("t_ok"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
 
 _PRF_SQL = rf"""
 WITH tok AS (

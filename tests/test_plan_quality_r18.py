@@ -145,3 +145,15 @@ def test_k_anonymity_audit_is_one_aggregate_no_join(spark):
     plan = _plan(spark, "k_anonymity_audit")
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
+
+
+def test_t_closeness_windows_class_table_not_corpus(spark):
+    """The global sensitive distribution must come from the bounded
+    class table: one corpus scan, one partial corpus aggregate, and
+    the empty-OVER window AFTER the class aggregate - a corpus-scale
+    empty-OVER window would serialize 100 TB through one partition."""
+    plan = _plan(spark, "t_closeness_audit")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" in plan  # the class-table global-ratio window
+    assert "Join" not in plan
