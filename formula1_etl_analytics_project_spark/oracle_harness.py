@@ -83,11 +83,19 @@ def canon_cell(v):
             return ("null",)
         return ("float", repr(f))
     if isinstance(v, decimal.Decimal):
-        # No entry should OUTPUT a decimal (the catalog rounds to
-        # double at the output boundary); canonicalize as float so a
-        # stray one at least compares by value, and let the type sweep
-        # flag it as driver-hostile.
-        return ("float", repr(float(v)))
+        # The driver hashes the RAW pandas cell: a Decimal is
+        # repr-distinct from the Spark side's float64 even when equal
+        # in value, so a DECIMAL output column is a guaranteed red
+        # row. Converting to float here (the pre-round-5 behavior)
+        # was strictly more forgiving than the driver - exactly how
+        # benford_digit_audit's DECIMAL expected_p slipped past the
+        # local sweep. Hard error, like list cells: cast to DOUBLE at
+        # the oracle output boundary.
+        raise TypeError(
+            "decimal.Decimal output cell reaches the oracle boundary "
+            f"({v!r}); the driver hash-distinguishes Decimal from "
+            "float64 - CAST the column to DOUBLE in the oracle SQL"
+        )
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return ("ts", pd.Timestamp(v).isoformat())
     if isinstance(v, (list, tuple, np.ndarray, dict)):

@@ -23,6 +23,11 @@
   equivalence class, its size and sensitive-value diversity with
   pass/fail flags - one map-side-combinable aggregate, the privacy
   sibling of `pii_redact_docs`.
+* `benford_digit_audit` - Benford first-digit screen over order
+  totals (fraud / synthetic-batch detection): digit from the exact
+  integer part, expectations injected as Python-computed literals
+  into both twins (log10 is transcendental - neither engine computes
+  it), one map-side-combinable aggregate to a 9-row table.
 * `t_closeness_audit` - the triad's distribution check: per class,
   |p_sensitive - p_global| (variational distance, exact for a binary
   sensitive attribute) with the global distribution from an
@@ -823,6 +828,106 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_diversity") >= 2).cast("int").alias("l_ok"),
         )
         .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ===========================================================================
+# Benford first-digit audit (fraud / synthetic-data detection)
+# ===========================================================================
+
+import math as _math
+
+# Expected Benford proportions computed ONCE in Python and injected as
+# the SAME double literals into both twins - log10 is transcendental
+# and the two engines' libm results are not contractually identical,
+# so neither engine computes it.
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+), cnts AS (
+  SELECT digit, COUNT(*) AS cnt FROM digits GROUP BY digit
+), w AS (
+  SELECT digit, cnt, SUM(cnt) OVER () AS total FROM cnts
+)
+SELECT digit,
+       CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS observed_p,
+       ROUND(CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE), 9)
+         AS expected_p,
+       ROUND(ABS(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                 - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)), 9)
+         AS abs_dev
+FROM w
+ORDER BY digit
+"""
+
+
+@_register(
+    "benford_digit_audit",
+    _BENFORD_SQL,
+    tags=("quality", "stats", "agg"),
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: naturally-grown
+    monetary values follow log10(1+1/d) first-digit frequencies, and
+    fabricated or synthetically-generated batches don't - the classic
+    screen a data-quality gate runs over financial columns and a
+    training-data pipeline runs over suspect numeric fields before
+    ingestion. Output: per digit 1-9, the count, observed share,
+    Benford expectation, and absolute deviation.
+
+    Cross-engine discipline: the first digit comes from the INTEGER
+    part (FLOOR -> BIGINT -> string -> first char; floor and integer
+    stringification are exact in both engines, while stringifying a
+    raw DOUBLE is not - scientific-notation formats diverge - and
+    CAST(double AS BIGINT) rounds in DuckDB but truncates in Spark);
+    the Benford expectations are Python-computed double literals
+    injected into BOTH twins, because log10 is transcendental and the
+    engines' libm results are not contractually bit-identical; ratios
+    follow the one-division rrf/t-closeness pattern.
+
+    Shape at 100 TB: one corpus-scale hash aggregate (map-side
+    combinable) to a 9-row digit table; the share window and the
+    literal-CASE expectations run on those 9 rows. The corpus is
+    scanned once and nothing downstream scales with it.
+    """
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders", spread=True)
+    digit = (
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+    ).cast("long")
+    cnts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt").over(W.partitionBy())
+    expected = F.when(F.lit(False), F.lit(0.0))
+    for d in range(1, 10):
+        expected = expected.when(F.col("digit") == d, F.lit(_BENFORD_P[d]))
+    obs = F.col("cnt").cast("double") / total.cast("double")
+    return (
+        cnts.select(
+            "digit",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(obs, 9).alias("observed_p"),
+            F.round(expected, 9).alias("expected_p"),
+            F.round(F.abs(obs - expected), 9).alias("abs_dev"),
+        )
+        .orderBy("digit")
     )
 
 

@@ -58,6 +58,13 @@ def sweep(con, catalog):
                 bad.append(
                     (name, col, f"unsortable-in-pandas {typ} (driver crash)")
                 )
+            if t.startswith("DECIMAL"):
+                bad.append(
+                    (name, col,
+                     f"{typ} output column (pandas materializes "
+                     "decimal.Decimal objects - repr-distinct from "
+                     "float in the driver's value hash)")
+                )
             if t.startswith("TIMESTAMP"):
                 ts_cols.append(col)
             if t in ("DOUBLE", "FLOAT", "REAL"):

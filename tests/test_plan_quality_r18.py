@@ -157,3 +157,13 @@ def test_t_closeness_windows_class_table_not_corpus(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Window" in plan  # the class-table global-ratio window
     assert "Join" not in plan
+
+
+def test_benford_is_one_scan_one_aggregate(spark):
+    """The digit histogram must be one corpus scan + one map-side-
+    combinable aggregate to 9 rows; the share window and expectation
+    CASE run on the digit table only."""
+    plan = _plan(spark, "benford_digit_audit")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
