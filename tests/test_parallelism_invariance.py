@@ -54,6 +54,14 @@ SENSITIVE = [
     "train_val_test_split",
     "top_orders",
     "mixture_resample_docs",
+    # r19/r20: distributed prefix sums, rank profiles, log-space
+    # window products - all order-sensitive machinery by design
+    "ks_two_sample",
+    "mann_whitney_u",
+    "psi_drift",
+    "quantile_normalization",
+    "km_survival",
+    "welch_ttest",
 ]
 
 
