@@ -62,6 +62,14 @@ SENSITIVE = [
     "quantile_normalization",
     "km_survival",
     "welch_ttest",
+    # r21: hash-seeded replicate weights, iterative spectra, ln-ratio
+    # scores - float machinery that must not see partition order
+    "bootstrap_ci_mean",
+    "power_iteration_pc1",
+    "fs_linkage_scores",
+    # r22: graph fixpoint + double argmax over window prefix sums
+    "dbscan_labels",
+    "best_split_finding",
 ]
 
 
