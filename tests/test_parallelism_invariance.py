@@ -70,6 +70,8 @@ SENSITIVE = [
     # r22: graph fixpoint + double argmax over window prefix sums
     "dbscan_labels",
     "best_split_finding",
+    # r23: CC fixpoint over hashed string nodes + min_by survivorship
+    "golden_record_names",
 ]
 
 
