@@ -13,6 +13,17 @@
   what makes scaling-law points comparable (each larger run extends,
   not replaces, the smaller run's data) and hash-thresholding gives
   it for free, with no coordination and no stored sample membership.
+* `xml_roundtrip_scan` - the Spark 4 built-in XML source: stage,
+  schema-on-read (explicit schema restores longs / doubles /
+  timestamp_ntz from XML's all-text encoding), aggregate off the
+  column-pruned XML scan; the oracle computes the same aggregate
+  from parquet, proving the write+parse roundtrip lossless.
+  Completes the format matrix (parquet/ORC/CSV/JSONL/XML/Python
+  datasource; Avro stays unregistered - external module).
+* `binary_files_scan` - the `binaryFile` source, the multimodal
+  ingest contract (one file per asset -> (path, length, content)
+  rows): staged blobs fingerprinted byte-exactly against the
+  oracle's text-side digests.
 
 Cross-engine portability as plans/catalog.py: md5-derived hashes,
 integer thresholds, decimal sums, BIGINT counts, round(6) ratios.
@@ -241,4 +252,165 @@ def q_nested_subsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
         .select("sample_name", "n_docs", "mean_chars")
+    )
+
+
+# ===========================================================================
+# XML roundtrip scan (Spark 4 built-in XML source)
+# ===========================================================================
+
+_XML_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS sum_price,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_date
+FROM orders
+WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@_register(
+    "xml_roundtrip_scan",
+    _XML_SQL,
+    tags=("source", "sink"),
+)
+def q_xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange surface (the built-in XML source added in
+    Spark 4): stage a slice of orders to XML (rowTag records), read
+    it back under the EXPLICIT original schema - XML stores
+    everything as text, so schema-on-read is what restores longs,
+    doubles, and the timestamp_ntz order date; relying on inference
+    would mistype edge cases (inference turned digit strings into
+    BIGINT in this container's probe) - and aggregate off the XML
+    scan. The oracle computes the same aggregate from parquet, so a
+    hash match proves the write+parse roundtrip is lossless for every
+    touched type. Completes the format matrix: parquet + ORC + CSV +
+    JSONL + XML + Python datasource, each oracle-checked (Avro stays
+    unregistered - external module, no network).
+
+    Staged once per session per testdata fingerprint under
+    _stage_dir, gated on the _SUCCESS marker (a crashed partial write
+    is rewritten, not reused - catalog_ext convention). The modulo
+    slice keeps the staged XML small: XML is a row-expanded text
+    format; the entry pins CORRECTNESS of the interchange, while the
+    columnar entries carry the scan-performance story.
+
+    Shape at 100 TB: you would never store the lake in XML - this is
+    the ingest-from-partner-feed shape: read with explicit schema,
+    convert to parquet once, run everything downstream columnar.
+    """
+    import os
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+
+    src = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    stage = os.path.join(_stage_dir(sf_dir, "xmlrt", "orders"), "orders_xml")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            src.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .save(stage)
+        )
+    xml = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(src.schema)
+        .load(stage)
+    )
+    return (
+        xml.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderdate").cast("timestamp").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ===========================================================================
+# binaryFile source scan (multimodal ingest path)
+# ===========================================================================
+
+_BINF_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 10 = 0
+ORDER BY doc_id
+"""
+
+
+@_register(
+    "binary_files_scan",
+    _BINF_SQL,
+    tags=("source", "multimodal"),
+)
+def q_binary_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source - Spark's ingest path for opaque media
+    blobs (images/audio/video arrive as one file per asset; this
+    source turns a directory of them into (path, length, content)
+    rows, the input contract of `operators.multimodal`). A slice of
+    the corpus is staged as one .bin file per document (driver-side
+    fixture write, gated on a marker), read back through the
+    binaryFile source, and fingerprinted: id parsed from the path,
+    byte length, md5 of the raw bytes. The oracle derives all three
+    from the documents view (the texts are pure ASCII in this
+    corpus, verified bytes == chars, so DuckDB's VARCHAR md5 hashes
+    the identical bytes Spark's binary md5 sees) - a hash match
+    proves the file write + directory listing + binary read
+    round-trip is byte-lossless.
+
+    Shape at 100 TB: binaryFile scans parallelize over files (one
+    task per file group, no splitting within a blob); the pattern is
+    list -> read -> fingerprint/decode -> write parquet with the
+    binary column ONCE, then run everything downstream columnar -
+    the `media_features` entries consume exactly that layout.
+    """
+    import os
+
+    from formula1_etl_analytics_project_spark.plans.catalog_ext import (
+        _stage_dir,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    stage = os.path.join(_stage_dir(sf_dir, "binrt", "documents"), "blobs")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        for row in docs.select("doc_id", "text").toLocalIterator():
+            with open(
+                os.path.join(stage, f"doc_{row['doc_id']}.bin"), "wb"
+            ) as f:
+                f.write(row["text"].encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
     )

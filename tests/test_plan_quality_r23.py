@@ -40,3 +40,25 @@ def test_nested_subsample_single_scan_broadcast_tag(spark):
     assert "partial_sum" in plan
     schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in schema
+
+
+def test_xml_scan_prunes_to_aggregate_columns(spark):
+    """The XML read must use the explicit schema AND column-prune:
+    only the three aggregate inputs appear in the XML scan's
+    ReadSchema (XML is text - reading unused columns means parsing
+    them); the aggregate is map-side combinable on the scan."""
+    plan = _plan(spark, "xml_roundtrip_scan")
+    assert "Scan xml" in plan
+    schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in schema and "o_custkey" not in schema
+    assert "partial_sum" in plan
+
+
+def test_binary_files_scan_prunes_modification_time(spark):
+    """The binaryFile scan must read only (path, length, content) -
+    modificationTime is nondeterministic fixture state and must be
+    pruned out of the checked projection."""
+    plan = _plan(spark, "binary_files_scan")
+    assert "Scan binaryFile" in plan
+    schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "content" in schema and "modificationTime" not in schema
