@@ -206,6 +206,7 @@ ORDER BY p.doc_a, p.doc_b
     "winnow_dup_pairs",
     _WINNOW_PAIRS_SQL,
     tags=("text", "dedup", "join"),
+    bench=True,
 )
 def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs from shared winnowing

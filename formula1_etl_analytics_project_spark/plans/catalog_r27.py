@@ -73,6 +73,7 @@ FROM scored ORDER BY doc_id
     "linear_quality_classifier",
     _CLASSIFIER_SQL,
     tags=("text", "quality", "ml"),
+    bench=True,
 )
 def q_linear_quality_classifier(
     spark: SparkSession, sf_dir: str
