@@ -63,7 +63,7 @@ WITH toks AS (
   GROUP BY f.doc_id
 )
 SELECT doc_id, n_tok,
-       ROUND(CAST(sum_w AS DOUBLE) / (1000.0 * n_tok), 6) AS logit,
+       CAST(sum_w AS DOUBLE) / (1000.0 * n_tok) AS logit,
        CASE WHEN sum_w > 0 THEN 'keep' ELSE 'drop' END AS label
 FROM scored ORDER BY doc_id
 """
@@ -96,7 +96,11 @@ def q_linear_quality_classifier(
     broadcast and the per-doc aggregate combines partially before
     the single doc_id exchange. At 100 TB: one scan, one exchange of
     (doc_id, partial-sum) pairs. No sigmoid in the checked output:
-    exp() ulps differ across libms, the raw logit doesn't.
+    exp() ulps differ across libms, the raw logit doesn't. The logit
+    is deliberately UNROUNDED: one IEEE division of two exact
+    integers is bit-identical across engines, whereas round(6)
+    flipped on exact half-boundary quotients (sum_w/(1000*n_tok) =
+    -0.0649375 rounded differently at sf0.1 - caught pre-driver).
     """
     from formula1_etl_analytics_project_spark.functions.text import (
         normalize,
@@ -136,10 +140,9 @@ def q_linear_quality_classifier(
     return scored.select(
         "doc_id",
         "n_tok",
-        F.round(
+        (
             F.col("sum_w").cast("double")
-            / (F.lit(1000.0) * F.col("n_tok")),
-            6,
+            / (F.lit(1000.0) * F.col("n_tok"))
         ).alias("logit"),
         F.when(F.col("sum_w") > 0, F.lit("keep"))
         .otherwise(F.lit("drop"))
@@ -237,13 +240,13 @@ def q_template_skeleton_stats(
 _XCORR_SQL = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(COUNT(*) AS DECIMAL(18,0)) AS cnt,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DECIMAL(18,2)) AS rev
+         CAST(COUNT(*) AS DECIMAL(19,0)) AS cnt,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS rev_c
   FROM orders GROUP BY 1
 ), lagged AS (
   SELECT date_diff('day', b.day, a.day) AS lag,
-         a.rev AS x, b.cnt AS y
+         a.rev_c AS x, b.cnt AS y
   FROM daily a JOIN daily b
     ON b.day BETWEEN a.day - 14 AND a.day
 ), mom AS (
@@ -276,12 +279,14 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     0..14 - the diagnostic that finds how far one series leads
     another (demand signals leading revenue, ingestion leading
     storage) before anyone fits a forecasting model. All five
-    moments accumulate as EXACT decimals (cnt as DECIMAL(18,0), rev
-    as DECIMAL(18,2), products within DECIMAL(38)) and convert to
-    double only inside the final correlation expression - and the
-    only non-rational step, sqrt, is correctly rounded by IEEE-754
-    in both engines, so the round(6) output cannot flip on a libm
-    ulp the way pow/exp can.
+    moments accumulate as EXACT integers (revenue scaled to cents,
+    both series as DECIMAL(19,0) so every product computes in
+    int128/DECIMAL(38,0) - DECIMAL(18) operands overflowed DuckDB's
+    int64 multiply at sf0.1; Pearson is scale-invariant so the cents
+    scaling cancels) and convert to double only inside the final
+    correlation expression - and the only non-rational step, sqrt,
+    is correctly rounded by IEEE-754 in both engines, so the
+    round(6) output cannot flip on a libm ulp the way pow/exp can.
 
     Distributed form: the corpus-scale work is the daily rollup (one
     map-side-combinable exchange); the 15-lag pairing joins the
@@ -296,13 +301,17 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(
-        F.count("*").cast("decimal(18,0)").alias("cnt"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev"),
+        F.count("*").cast("decimal(19,0)").alias("cnt"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            * 100
+        )
+        .cast("decimal(19,0)")
+        .alias("rev_c"),
     )
     ed = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-    a = daily.select("day", F.col("rev").alias("x")).withColumn(
+    a = daily.select("day", F.col("rev_c").alias("x")).withColumn(
         "bucket", F.floor(ed / 15)
     )
     ed_b = F.datediff(F.col("day_b"), F.lit("1970-01-01").cast("date"))
