@@ -1,0 +1,255 @@
+"""Round-33 catalog entries (round 5, twelfth leg) - completing two
+measurement families:
+
+* `anova_dow_value` - one-way ANOVA across the seven day-of-week
+  groups of order value: the k-group gap in the statistical-test
+  family (z/t/Welch cover 2 groups, chi-squared/Cramer's V cover
+  categorical, KS/MWU cover 2-sample distribution; k-group means had
+  no test). F from exact decimal moments, one scan.
+* `source_pair_similarity` - pairwise SOURCE-vs-SOURCE token
+  distribution cosine: `kl_divergence_sources` measures each source
+  against the corpus, `source_overlap_matrix` measures shared
+  DOCUMENTS; this measures distributional redundancy between source
+  pairs even when no document is shared - the signal dataset mixing
+  uses to merge near-identical domains.
+
+Cross-engine portability as plans/catalog.py: decimal-exact moments
+and integer count vectors, doubles only in final expressions with
+identical shapes, sqrt-only transcendence, unrounded divisions of
+exact aggregates.
+
+Importing this module registers everything into catalog.CATALOG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.sources.readers import read_table
+
+# ===========================================================================
+# One-way ANOVA over day-of-week groups
+# ===========================================================================
+
+_ANOVA_SQL = """
+WITH grp AS (
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS s,
+         SUM(CAST(o_totalprice AS DECIMAL(19,2))
+             * CAST(o_totalprice AS DECIMAL(19,2))) AS ss
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(s AS DECIMAL(38,2))) AS DOUBLE) AS s_all,
+         CAST(SUM(CAST(ss AS DECIMAL(38,4))) AS DOUBLE) AS ss_all,
+         CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sb_term
+  FROM grp
+)
+SELECT k, n_total,
+       (sb_term - s_all * s_all / n_total) / (k - 1) AS ms_between,
+       (ss_all - sb_term) / (n_total - k) AS ms_within,
+       ((sb_term - s_all * s_all / n_total) / (k - 1))
+         / ((ss_all - sb_term) / (n_total - k)) AS f_stat
+FROM tot
+"""
+
+
+@_register(
+    "anova_dow_value",
+    _ANOVA_SQL,
+    tags=("analytics", "stats"),
+)
+def q_anova_dow_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the seven
+    day-of-week groups? F = MS_between / MS_within from the sum-of-
+    squares decomposition - the k-group mean test the 2-sample
+    z/t/Welch family cannot express, and the statistical gate behind
+    `dow_seasonality`'s descriptive profile.
+
+    Determinism: per-group n/sum/sum-of-squares are exact decimals
+    (squares via 19-digit operands -> int128 products); the one
+    derived-double term, sum(s_g^2/n_g), pins each group's quotient
+    to 6 dp BEFORE the decimal sum (7 groups, order-free); every
+    later expression has an identical shape in both twins, so
+    ms_between/ms_within/f_stat are bit-identical unrounded doubles.
+
+    Distributed form: one pushed-projection scan, a 7-group
+    map-side-combinable moment aggregate, then a 7-row rollup.
+    Nothing else moves - at 100 TB, ANOVA is exactly one pass.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    grp = orders.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(19,2)")
+            * F.col("o_totalprice").cast("decimal(19,2)")
+        ).alias("ss"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("s").cast("decimal(38,2)")).cast("double").alias("s_all"),
+        F.sum(F.col("ss").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss_all"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sb_term"),
+    )
+    msb = (
+        F.col("sb_term")
+        - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ) / (F.col("k") - 1)
+    msw = (F.col("ss_all") - F.col("sb_term")) / (
+        F.col("n_total") - F.col("k")
+    )
+    return tot.select(
+        "k",
+        "n_total",
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        (msb / msw).alias("f_stat"),
+    )
+
+
+# ===========================================================================
+# Pairwise source-vs-source token distribution cosine
+# ===========================================================================
+
+_SRC_SIM_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+           x -> x <> '')) AS t
+  FROM documents
+), hist AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, t
+), norms AS (
+  SELECT source,
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DOUBLE) AS sq
+  FROM hist GROUP BY source
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+              AS DOUBLE) AS dot
+  FROM hist a JOIN hist b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT d.src_a, d.src_b,
+       d.dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cos_sim
+FROM dots d
+JOIN norms na ON na.source = d.src_a
+JOIN norms nb ON nb.source = d.src_b
+ORDER BY d.src_a, d.src_b
+"""
+
+
+@_register(
+    "source_pair_similarity",
+    _SRC_SIM_SQL,
+    tags=("text", "analytics", "join"),
+)
+def q_source_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vs-source token-distribution cosine: each
+    source becomes a term-count vector, pairs score by cosine over
+    the shared vocabulary - the distributional-redundancy map that
+    tells dataset mixing which domains to merge (high cosine, zero
+    document overlap is exactly the case `source_overlap_matrix`
+    cannot see and `kl_divergence_sources`' corpus-reference
+    formulation blurs).
+
+    Determinism: count vectors are exact integers; dots and squared
+    norms accumulate as int128 decimal products cast to double once;
+    cosine is dot / (sqrt * sqrt) of identical doubles (sqrt is
+    IEEE-exact), left unrounded.
+
+    Distributed form: the corpus-scale exchange is the (source,
+    token) histogram (map-side combinable, vocabulary-sized output);
+    the pair join runs token-keyed OVER THE HISTOGRAM (each token
+    contributes |sources-sharing-it|^2/2 pairs, bounded by 20^2 -
+    never a document join); norms join back on the 20-row source
+    dimension. At 100 TB everything after the histogram is
+    vocabulary-scale.
+    """
+    from formula1_etl_analytics_project_spark.functions.text import (
+        normalize,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    hist = (
+        docs.select(
+            "source", F.explode(tokens(normalize("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    norms = hist.groupBy("source").agg(
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("sq")
+    )
+    a = hist.select(F.col("source").alias("src_a"), "t", F.col("c").alias("ca"))
+    b = hist.select(F.col("source").alias("src_b"), "t", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(19,0)")
+                * F.col("cb").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("source").alias("src_a"), F.col("sq").alias("sqa")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col("source").alias("src_b"), F.col("sq").alias("sqb")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("dot") / (F.sqrt(F.col("sqa")) * F.sqrt(F.col("sqb")))
+            ).alias("cos_sim"),
+        )
+        .orderBy("src_a", "src_b")
+    )
