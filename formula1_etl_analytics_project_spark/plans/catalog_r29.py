@@ -196,8 +196,11 @@ def q_winnow_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from formula1_etl_analytics_project_spark.plans.catalog import CATALOG
 
+    # ids-then-fetch variant: same exact pair set, 3.4 vs 289 MiB
+    # through the exchange (SCALING.md) - the arrays-through original
+    # cost this gate 296 MiB total, measured
     truth = (
-        CATALOG["prefix_jaccard_pairs"]
+        CATALOG["prefix_jaccard_pairs_df"]
         .spark(spark, sf_dir)
         .select("id_a", "id_b")
         .localCheckpoint()
