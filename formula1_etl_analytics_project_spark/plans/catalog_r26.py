@@ -20,9 +20,11 @@ datasheet, and a banded-join EMA trend:
   the daily rollup.
 
 Cross-engine portability as plans/catalog.py: md5-derived 60-bit
-hashes, integer-first arithmetic, decimal-cast double sums, round(6)
-ratios, digests instead of list columns at the output boundary (the
-driver comparator rejects LIST outputs - COVERAGE.md ledger notes).
+hashes, integer-first arithmetic, decimal-cast double sums, UNROUNDED
+single divisions for exact-integer ratios (round(6) on an exact
+rational flips on half-boundary quotients - the classifier lesson),
+digests instead of list columns at the output boundary (the driver
+comparator rejects LIST outputs - COVERAGE.md ledger notes).
 
 Importing this module registers everything into catalog.CATALOG.
 """
@@ -76,7 +78,7 @@ _WINNOW_FP_SQL = (
   FROM fps GROUP BY doc_id
 )
 SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams, a.n_fp,
-       ROUND(CAST(a.n_fp AS DOUBLE) / p.n_grams, 6) AS fp_density,
+       CAST(a.n_fp AS DOUBLE) / p.n_grams AS fp_density,
        a.fp_digest
 FROM per_doc p JOIN agg2 a ON p.doc_id = a.doc_id
 ORDER BY p.doc_id
@@ -84,11 +86,15 @@ ORDER BY p.doc_id
 )
 
 
-def _winnow_fps(spark: SparkSession, sf_dir: str):
+def _winnow_fps(spark: SparkSession, sf_dir: str, persist_grams=False):
     """(grams, fps) DataFrames shared by both winnow entries: 4-token
     gram hashes with positions, and the distinct winnowed fingerprints
     per document (window-minima, w=4, left-closed so short prefixes
-    still fingerprint)."""
+    still fingerprint). persist_grams=True caches the gram table for
+    callers that consume it through MORE THAN ONE subtree (the
+    fingerprint entry aggregates grams directly AND through fps -
+    without the boundary the scan+tokenize+md5 pipeline runs twice,
+    the recompute trap)."""
     from formula1_etl_analytics_project_spark.functions.text import (
         normalize,
         tokens,
@@ -111,6 +117,10 @@ def _winnow_fps(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("h"),
     )
+    if persist_grams:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     fps = (
         grams.select("doc_id", F.min("h").over(w).alias("fp"))
@@ -143,7 +153,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchanges are the doc_id-keyed window/groupBys. Fingerprints
     ship as 60-bit BIGINTs, never gram strings.
     """
-    grams, fps = _winnow_fps(spark, sf_dir)
+    grams, fps = _winnow_fps(spark, sf_dir, persist_grams=True)
     per_doc = grams.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_grams")
     )
@@ -165,9 +175,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_fp",
-            F.round(
-                F.col("n_fp").cast("double") / F.col("n_grams"), 6
-            ).alias("fp_density"),
+            (F.col("n_fp").cast("double") / F.col("n_grams")).alias(
+                "fp_density"
+            ),
             "fp_digest",
         )
         .orderBy("doc_id")
@@ -192,8 +202,8 @@ _WINNOW_PAIRS_SQL = (
   GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
 )
 SELECT p.doc_a, p.doc_b, p.shared_fps,
-       ROUND(CAST(p.shared_fps AS DOUBLE)
-             / (sa.n_fp + sb.n_fp - p.shared_fps), 6) AS est_jaccard
+       CAST(p.shared_fps AS DOUBLE)
+         / (sa.n_fp + sb.n_fp - p.shared_fps) AS est_jaccard
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
@@ -269,10 +279,9 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "shared_fps",
-            F.round(
+            (
                 F.col("shared_fps").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared_fps")),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("shared_fps"))
             ).alias("est_jaccard"),
         )
         .orderBy("doc_a", "doc_b")
@@ -289,7 +298,7 @@ SELECT source,
        CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
          x -> x <> ''))) AS BIGINT) AS n_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       ROUND(CAST(SUM(CAST(
+       CAST(SUM(CAST(
          ROUND(
            LEAST(length(text) / 500.0, 1.0) * 0.4
            + LEAST(CASE WHEN len(list_filter(string_split_regex(trim(text),
@@ -307,12 +316,12 @@ SELECT source,
                CAST(length(text) - length(regexp_replace(text,
                  '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
                ELSE 0.0 END * 5, 1.0)) * 0.2, 6)
-         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
-       ROUND(CAST(COUNT(*) - COUNT(DISTINCT
+         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
+       CAST(COUNT(*) - COUNT(DISTINCT
          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
-         AS DOUBLE) / COUNT(*), 6) AS exact_dup_rate,
-       ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS en_frac
+         AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS en_frac
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -364,22 +373,19 @@ def q_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
             F.sum("n_chars").cast("bigint").alias("n_chars"),
-            F.round(
+            (
                 _dsum(F.col("q"), "_", scale=6).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("mean_quality"),
-            F.round(
+            (
                 (F.count("*") - F.countDistinct("fp")).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("exact_dup_rate"),
-            F.round(
+            (
                 F.sum(
                     F.when(F.col("lang") == "en", 1).otherwise(0)
                 ).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("en_frac"),
         )
         .orderBy("source")
@@ -446,8 +452,8 @@ WITH daily AS (
     ON b.day BETWEEN a.day - 19 AND a.day
 )
 SELECT day, n_orders, revenue,
-       ROUND(CAST(SUM(w * rev_b) AS DOUBLE)
-             / CAST(SUM(w) AS DOUBLE), 6) AS ema20
+       CAST(SUM(CAST(w AS DECIMAL(19,6)) * rev_b) AS DOUBLE)
+         / CAST(SUM(w) AS DOUBLE) AS ema20
 FROM lagged GROUP BY day, n_orders, revenue ORDER BY day
 """
 
@@ -469,7 +475,12 @@ def q_ema_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     both twins (runtime pow() ulp differences between libm
     implementations survived round(6) - caught pre-driver), and the
     weighted sum stays in decimal until the single double division
-    at the output boundary.
+    at the output boundary, with operands cast to DECIMAL(19,*) so
+    the product computes in int128 (DuckDB multiplies narrower
+    decimals in int64 and overflows at large daily revenue - review
+    catch). ema20 is left UNROUNDED: the quotient of two exact
+    decimals is the same double in both engines, while round(6) can
+    flip on an exact half-boundary rational.
 
     Distributed form: the corpus-scale work is the daily rollup (one
     map-side-combinable exchange). The 20-day trailing join runs on
@@ -531,10 +542,17 @@ def q_ema_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lagged.groupBy("day", "n_orders", "revenue")
         .agg(
-            F.round(
-                F.sum(F.col("w") * F.col("rev_b")).cast("double")
-                / F.sum("w").cast("double"),
-                6,
+            # DECIMAL(19,6) x DECIMAL(18,2): product precision lands
+            # exactly at 38/scale 8 - wider operands make Spark CAP
+            # the precision by reducing the scale (rounding every
+            # product), while a 19-digit operand forces DuckDB's
+            # multiply into int128 (int64 overflows at large daily
+            # revenue)
+            (
+                F.sum(
+                    F.col("w").cast("decimal(19,6)") * F.col("rev_b")
+                ).cast("double")
+                / F.sum("w").cast("double")
             ).alias("ema20")
         )
         .orderBy("day")

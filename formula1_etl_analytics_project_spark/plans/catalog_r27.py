@@ -169,7 +169,7 @@ SELECT source,
        CAST(SUM(cnt) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_templates,
        CAST(MAX(cnt) AS BIGINT) AS max_template_docs,
-       ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+       CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt)
          AS template_dup_rate
 FROM grp GROUP BY source ORDER BY source
 """
@@ -223,10 +223,9 @@ def q_template_skeleton_stats(
             F.sum("cnt").cast("bigint").alias("n_docs"),
             F.count("*").cast("bigint").alias("n_templates"),
             F.max("cnt").cast("bigint").alias("max_template_docs"),
-            F.round(
+            (
                 (F.sum("cnt") - F.count("*")).cast("double")
-                / F.sum("cnt"),
-                6,
+                / F.sum("cnt")
             ).alias("template_dup_rate"),
         )
         .orderBy("source")

@@ -49,11 +49,11 @@ SELECT '{name}' AS join_name,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
        (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS d_left,
        (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS d_right,
-       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM {lt})
+       (SELECT CAST(COUNT(*) AS DOUBLE) FROM {lt})
              * (SELECT COUNT(*) FROM {rt})
              / (SELECT CAST(GREATEST(COUNT(DISTINCT {lk}),
                          (SELECT COUNT(DISTINCT {rk}) FROM {rt}))
-                       AS DOUBLE) FROM {lt}), 6) AS est_rows,
+                       AS DOUBLE) FROM {lt}) AS est_rows,
        (SELECT CAST(SUM(c1 * c2) AS BIGINT) FROM
           (SELECT {lk} AS k, COUNT(*) AS c1 FROM {lt} GROUP BY 1) a
           JOIN
@@ -65,7 +65,7 @@ SELECT '{name}' AS join_name,
 _JOIN_EST_SQL = (
     "SELECT join_name, n_left, n_right, d_left, d_right, est_rows,"
     " actual_rows,"
-    " ROUND((est_rows - actual_rows) / CAST(actual_rows AS DOUBLE), 6)"
+    " (est_rows - actual_rows) / CAST(actual_rows AS DOUBLE)"
     "   AS rel_error FROM ("
     + " UNION ALL ".join(_est_block_sql(*p) for p in _JOIN_PAIRS)
     + ") ORDER BY join_name"
@@ -131,11 +131,10 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_right",
                 "d_left",
                 "d_right",
-                F.round(
+                (
                     F.col("n_left").cast("double")
                     * F.col("n_right")
-                    / F.greatest("d_left", "d_right").cast("double"),
-                    6,
+                    / F.greatest("d_left", "d_right").cast("double")
                 ).alias("est_rows"),
                 "actual_rows",
             )
@@ -143,10 +142,9 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     return out.select(
         "*",
-        F.round(
+        (
             (F.col("est_rows") - F.col("actual_rows"))
-            / F.col("actual_rows").cast("double"),
-            6,
+            / F.col("actual_rows").cast("double")
         ).alias("rel_error"),
     ).orderBy("join_name")
 

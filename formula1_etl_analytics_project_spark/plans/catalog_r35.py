@@ -69,7 +69,10 @@ def q_retraction_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the post-change view directly from the
     re-homed dimension: retraction-equals-recompute is the contract,
     and it holds bit-exactly because contributions are exact decimal
-    partials whose signs cancel without float error.
+    partials whose signs cancel without float error. Groups whose
+    count nets to zero are DELETED from the view (the recompute has
+    no row for them) - the group-deletion half of update-mode
+    semantics.
 
     Distributed form: the delta pass scans orders once SEMI-JOINED to
     the moved-customer set (a broadcast of ~2.5% of the dimension) -
@@ -167,7 +170,12 @@ def q_retraction_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        merged.join(
+        # delete fully-retracted groups: a nation whose every order
+        # moved away nets to zero and must VANISH from the view, as
+        # the direct recompute has no row for it (review catch - real
+        # IVM engines delete zero-count groups)
+        merged.filter(F.col("n_orders") > 0)
+        .join(
             F.broadcast(nation), merged.nationkey == nation.n_nationkey
         )
         .select(

@@ -112,9 +112,11 @@ def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
+    # no downstream consumer reads raw text - keeping it out of the
+    # checkpoint keeps the materialization digest-sized instead of a
+    # second full copy of the corpus (review catch)
     toks = docs.select(
         "doc_id",
-        "text",
         token_count("text").alias("n_tok"),
         fingerprint("text").alias("fp"),
         F.length("text").alias("n_char"),

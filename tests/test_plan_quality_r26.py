@@ -138,7 +138,7 @@ def test_ema_matches_bruteforce_pandas(spark):
             if d2 in rev:
                 num += weights[lag] * rev[d2]
                 den += weights[lag]
-        expect = round(float(num) / float(den), 6)
+        expect = float(num) / float(den)  # unrounded single division
         assert abs(daily[day]["ema20"] - expect) < 1e-9
 
 

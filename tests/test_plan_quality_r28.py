@@ -62,11 +62,11 @@ def test_join_estimate_actual_matches_executed_join(spark):
         r = rows[name]
         assert r["actual_rows"] == expect
         est = r["n_left"] * r["n_right"] / max(r["d_left"], r["d_right"])
-        assert abs(r["est_rows"] - round(est, 6)) < 1e-6
-        assert abs(
+        assert r["est_rows"] == est  # unrounded exact-integer division
+        assert (
             r["rel_error"]
-            - round((r["est_rows"] - r["actual_rows"]) / r["actual_rows"], 6)
-        ) < 1e-9
+            == (r["est_rows"] - r["actual_rows"]) / r["actual_rows"]
+        )
 
 
 def test_diversity_cap_uses_window_group_limit(spark):
