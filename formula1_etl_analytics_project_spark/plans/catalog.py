@@ -676,6 +676,24 @@ _SQL_PUNCT_RATIO = (
     "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
     " / length(text) ELSE 0.0 END"
 )
+# The SQL twin of functions.text.quality_score - single source of
+# truth for every oracle that restates the heuristic quality formula
+# (doc_quality, source_datasheet, diversity_capped_topk, ...); editing
+# the weights or stoplist in one copy but not another would silently
+# desynchronize oracle hashes.
+_SQL_QUALITY = (
+    "ROUND(LEAST(length(text) / 500.0, 1.0) * 0.4"
+    f" + LEAST({_SQL_STOP_RATIO} * 4, 1.0) * 0.4"
+    f" + (1 - LEAST({_SQL_PUNCT_RATIO} * 5, 1.0)) * 0.2, 6)"
+)
+# The SQL twin of tokens(normalize(text)) - the lowercased,
+# whitespace-collapsed tokenizer shared by the winnow/zipf/minhash/
+# source-similarity oracles.
+_SQL_NORM_TOKS = (
+    "list_filter(string_split("
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),"
+    " x -> x <> '')"
+)
 
 
 @_register(
@@ -701,11 +719,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "doc_quality",
     f"""
-    SELECT doc_id,
-           ROUND(
-             LEAST(length(text) / 500.0, 1.0) * 0.4
-             + LEAST({_SQL_STOP_RATIO} * 4, 1.0) * 0.4
-             + (1 - LEAST({_SQL_PUNCT_RATIO} * 5, 1.0)) * 0.2, 6) AS quality
+    SELECT doc_id, {_SQL_QUALITY} AS quality
     FROM documents
     """,
     tags=("text",),

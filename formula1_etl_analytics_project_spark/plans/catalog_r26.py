@@ -37,6 +37,9 @@ from formula1_etl_analytics_project_spark.plans.catalog import (
     _register,
     _dsum,
     _sql_dsum,
+    _SQL_NORM_TOKS,
+    _SQL_QUALITY,
+    _SQL_TOKENS,
 )
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 
@@ -44,12 +47,9 @@ from formula1_etl_analytics_project_spark.sources.readers import read_table
 # Winnowing fingerprints (shared gram/window pipeline for both entries)
 # ===========================================================================
 
-_WINNOW_CTE = """
+_WINNOW_CTE = f"""
 WITH normed AS (
-  SELECT doc_id,
-         list_filter(string_split(
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-           x -> x <> '') AS toks
+  SELECT doc_id, {_SQL_NORM_TOKS} AS toks
   FROM documents
 ), grams AS (
   SELECT doc_id, i AS pos,
@@ -295,27 +295,9 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATASHEET_SQL = f"""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       CAST(SUM(CAST(
-         ROUND(
-           LEAST(length(text) / 500.0, 1.0) * 0.4
-           + LEAST(CASE WHEN len(list_filter(string_split_regex(trim(text),
-               '\\s+'), x -> x <> '')) > 0 THEN
-               CAST(len(list_filter(list_filter(string_split_regex(trim(text),
-                 '\\s+'), x -> x <> ''),
-                 t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of',
-                   'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
-                   'as', 'was', 'at', 'by', 'be', 'this', 'are', 'from',
-                   'but', 'not', 'have', 'had', 'has'], lower(t))))
-                 AS DOUBLE)
-               / len(list_filter(string_split_regex(trim(text), '\\s+'),
-                 x -> x <> '')) ELSE 0.0 END * 4, 1.0) * 0.4
-           + (1 - LEAST(CASE WHEN length(text) > 0 THEN
-               CAST(length(text) - length(regexp_replace(text,
-                 '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
-               ELSE 0.0 END * 5, 1.0)) * 0.2, 6)
+       CAST(SUM(CAST({_SQL_QUALITY}
          AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
        CAST(COUNT(*) - COUNT(DISTINCT
          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))

@@ -29,14 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.plans.catalog import (
+    _register,
+    _SQL_NORM_TOKS,
+)
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 
-_TOKS_SQL = """
-  list_filter(string_split(
-    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-    x -> x <> '')
-"""
+_TOKS_SQL = _SQL_NORM_TOKS
 
 # ===========================================================================
 # Hashed linear classifier inference (fastText-shaped quality filter)

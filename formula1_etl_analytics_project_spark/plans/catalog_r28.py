@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.plans.catalog import (
+    _register,
+    _SQL_NORM_TOKS,
+    _SQL_QUALITY,
+)
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 
 # ===========================================================================
@@ -153,26 +157,9 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Diversity-capped global top-k (max per-group share of a ranked budget)
 # ===========================================================================
 
-_DIVERSE_TOPK_SQL = """
+_DIVERSE_TOPK_SQL = f"""
 WITH scored AS (
-  SELECT doc_id, source,
-         ROUND(
-           LEAST(length(text) / 500.0, 1.0) * 0.4
-           + LEAST(CASE WHEN len(list_filter(string_split_regex(trim(text),
-               '\\s+'), x -> x <> '')) > 0 THEN
-               CAST(len(list_filter(list_filter(string_split_regex(trim(text),
-                 '\\s+'), x -> x <> ''),
-                 t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of',
-                   'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
-                   'as', 'was', 'at', 'by', 'be', 'this', 'are', 'from',
-                   'but', 'not', 'have', 'had', 'has'], lower(t))))
-                 AS DOUBLE)
-               / len(list_filter(string_split_regex(trim(text), '\\s+'),
-                 x -> x <> '')) ELSE 0.0 END * 4, 1.0) * 0.4
-           + (1 - LEAST(CASE WHEN length(text) > 0 THEN
-               CAST(length(text) - length(regexp_replace(text,
-                 '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
-               ELSE 0.0 END * 5, 1.0)) * 0.2, 6) AS q
+  SELECT doc_id, source, {_SQL_QUALITY} AS q
   FROM documents
 ), per_source AS (
   SELECT doc_id, source, q,
@@ -242,11 +229,9 @@ def q_diversity_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Zipf power-law fit over the token frequency spectrum
 # ===========================================================================
 
-_ZIPF_SQL = """
+_ZIPF_SQL = f"""
 WITH toks AS (
-  SELECT unnest(list_filter(string_split(
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-           x -> x <> '')) AS t
+  SELECT unnest({_SQL_NORM_TOKS}) AS t
   FROM documents
 ), vocab AS (
   SELECT t, COUNT(*) AS f FROM toks GROUP BY t

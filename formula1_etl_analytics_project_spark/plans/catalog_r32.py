@@ -31,6 +31,7 @@ from formula1_etl_analytics_project_spark.plans import catalog_ext  # noqa: F401
 from formula1_etl_analytics_project_spark.plans.catalog import (
     CATALOG,
     _register,
+    _SQL_NORM_TOKS,
 )
 from formula1_etl_analytics_project_spark.plans.catalog_r5 import (
     _PREFIX_PAIRS_SQL,
@@ -106,12 +107,9 @@ def q_dedup_cluster_size_stats(
 # The same normalize -> 3-token shingle -> (h1, h2) -> 8 minhash chain
 # as minhash_lsh_pairs' oracle (plans/catalog.py); restated here up to
 # `sigs` because that entry's final SELECT consumes the chain inline.
-_MH_SIGS_CTE = """
+_MH_SIGS_CTE = f"""
 normed AS (
-  SELECT doc_id,
-         list_filter(string_split(
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-           x -> x <> '') AS toks
+  SELECT doc_id, {_SQL_NORM_TOKS} AS toks
   FROM documents
 ), shingled AS (
   SELECT doc_id,

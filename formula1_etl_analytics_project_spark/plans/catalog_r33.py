@@ -25,7 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from formula1_etl_analytics_project_spark.plans.catalog import _register
+from formula1_etl_analytics_project_spark.plans.catalog import (
+    _register,
+    _SQL_NORM_TOKS,
+)
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 
 # ===========================================================================
@@ -132,12 +135,9 @@ def q_anova_dow_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise source-vs-source token distribution cosine
 # ===========================================================================
 
-_SRC_SIM_SQL = """
+_SRC_SIM_SQL = f"""
 WITH tok AS (
-  SELECT source,
-         unnest(list_filter(string_split(
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-           x -> x <> '')) AS t
+  SELECT source, unnest({_SQL_NORM_TOKS}) AS t
   FROM documents
 ), hist AS (
   SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c

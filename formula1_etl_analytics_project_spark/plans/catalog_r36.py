@@ -23,6 +23,8 @@ from formula1_etl_analytics_project_spark.plans import catalog_ext  # noqa: F401
 from formula1_etl_analytics_project_spark.plans.catalog import (
     CATALOG,
     _register,
+    _SQL_PUNCT_RATIO,
+    _SQL_STOP_RATIO,
 )
 from formula1_etl_analytics_project_spark.sources.readers import read_table
 
@@ -41,17 +43,8 @@ WITH toks AS (
 ), quality_keep AS (
   SELECT doc_id FROM toks
   WHERE NOT (length(text) < 50)
-    AND NOT (CASE WHEN n_tok > 0 THEN
-        CAST(len(list_filter(list_filter(string_split_regex(trim(text),
-          '\\s+'), x -> x <> ''),
-          t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of',
-            'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
-            'as', 'was', 'at', 'by', 'be', 'this', 'are', 'from',
-            'but', 'not', 'have', 'had', 'has'], lower(t))))
-          AS DOUBLE) / n_tok ELSE 0.0 END < 0.02)
-    AND NOT (CASE WHEN length(text) > 0 THEN
-        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]',
-          '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END > 0.10)
+    AND NOT ({_SQL_STOP_RATIO} < 0.02)
+    AND NOT ({_SQL_PUNCT_RATIO} > 0.10)
 ), stages AS (
   SELECT 1 AS stage, 'raw' AS name, doc_id FROM toks
   UNION ALL
