@@ -82,8 +82,8 @@ WITH s AS (
   FROM agg
 )
 SELECT n_a, n_b,
-       ROUND(m_a, 6) AS mean_a,
-       ROUND(m_b, 6) AS mean_b,
+       m_a AS mean_a,
+       m_b AS mean_b,
        ROUND((m_a - m_b)
              / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)),
              6) AS t_stat,
@@ -171,8 +171,8 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_a",
         "n_b",
-        F.round(m_a, 6).alias("mean_a"),
-        F.round(m_b, 6).alias("mean_b"),
+        m_a.alias("mean_a"),
+        m_b.alias("mean_b"),
         F.round((m_a - m_b) / F.sqrt(se2_a + se2_b), 6).alias("t_stat"),
         F.round(
             F.pow(se2_a + se2_b, F.lit(2.0))
@@ -317,7 +317,7 @@ WITH ranked AS (
   FROM ranked GROUP BY rk
 )
 SELECT r.doc_id, r.source, r.n_chars,
-       ROUND(p.ref_mean, 6) AS qnorm
+       p.ref_mean AS qnorm
 FROM ranked r JOIN profile p USING (rk)
 ORDER BY r.doc_id
 """
@@ -350,12 +350,15 @@ def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents", spread=True)
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # ranked feeds TWO consumers (the profile aggregate and the
+    # map-back join) - without a boundary the per-source sort window
+    # executes twice (the recompute trap, review catch)
     ranked = docs.select(
         "doc_id",
         "source",
         "n_chars",
         F.row_number().over(w).alias("rk"),
-    )
+    ).localCheckpoint()
     profile = ranked.groupBy("rk").agg(
         (
             F.sum(F.col("n_chars").cast("decimal(30,4)")).cast("double")
@@ -368,7 +371,7 @@ def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
-            F.round("ref_mean", 6).alias("qnorm"),
+            F.col("ref_mean").alias("qnorm"),
         )
         .orderBy("doc_id")
     )

@@ -88,10 +88,10 @@ WITH rep AS (
   SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
-       ROUND(CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_boot,
-       ROUND(MAX(CASE WHEN rn = 3 THEN m END), 6) AS ci_lo,
-       ROUND(MAX(CASE WHEN rn = 98 THEN m END), 6) AS ci_hi
+       CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_boot,
+       MAX(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+       MAX(CASE WHEN rn = 98 THEN m END) AS ci_hi
 FROM ranked
 """
 
@@ -179,17 +179,12 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_reps"),
-        F.round(
+        (
             F.sum(F.col("m").cast("decimal(38,12)")).cast("double")
-            / F.count("*").cast("double"),
-            6,
+            / F.count("*").cast("double")
         ).alias("mean_boot"),
-        F.round(
-            F.max(F.when(F.col("rn") == 3, F.col("m"))), 6
-        ).alias("ci_lo"),
-        F.round(
-            F.max(F.when(F.col("rn") == 98, F.col("m"))), 6
-        ).alias("ci_hi"),
+        F.max(F.when(F.col("rn") == 3, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 98, F.col("m"))).alias("ci_hi"),
     )
 
 
@@ -413,7 +408,7 @@ WITH v AS (
 SELECT step,
        CAST(n AS BIGINT) AS n,
        CAST(k AS BIGINT) AS k,
-       ROUND(p_hat, 6) AS rate,
+       p_hat AS rate,
        ROUND((p_hat + z2 / (2.0 * nd)
               - 1.959964 * sqrt(p_hat * (1.0 - p_hat) / nd
                                 + z2 / (4.0 * nd * nd)))
@@ -502,7 +497,7 @@ def q_wilson_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
-        F.round(p_hat, 6).alias("rate"),
+        p_hat.alias("rate"),
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     ).orderBy("step")

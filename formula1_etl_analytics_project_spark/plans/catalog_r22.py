@@ -385,8 +385,8 @@ WITH u AS (
   FROM g
 )
 SELECT n_a, n_b,
-       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) AS chi2,
        CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
                       / CAST(n_a + n_b AS DOUBLE) > {_SRM_CRIT}
                  THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
@@ -431,7 +431,7 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_a",
         "n_b",
-        F.round(chi2, 6).alias("chi2"),
+        chi2.alias("chi2"),
         F.when(chi2 > _SRM_CRIT, 1)
         .otherwise(0)
         .cast("bigint")
@@ -472,7 +472,7 @@ WITH s AS (
 )
 SELECT nc.n_cal, nc.n_test,
        CAST(th.threshold AS BIGINT) AS threshold,
-       ROUND(CAST(cov.covered AS DOUBLE) / CAST(nc.n_test AS DOUBLE), 6)
+       CAST(cov.covered AS DOUBLE) / CAST(nc.n_test AS DOUBLE)
          AS coverage
 FROM nc CROSS JOIN th CROSS JOIN cov
 """
@@ -550,10 +550,9 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cal",
             "n_test",
             F.col("threshold").cast("bigint").alias("threshold"),
-            F.round(
+            (
                 F.col("covered").cast("double")
-                / F.col("n_test").cast("double"),
-                6,
+                / F.col("n_test").cast("double")
             ).alias("coverage"),
         )
     )

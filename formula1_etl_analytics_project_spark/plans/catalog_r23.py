@@ -198,8 +198,8 @@ WITH h AS (
 )
 SELECT sample_name,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+       CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_chars
 FROM tagged
 GROUP BY sample_name, thr
 ORDER BY thr
@@ -244,10 +244,9 @@ def q_nested_subsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.groupBy("sample_name", "thr")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(
+            (
                 F.sum(F.col("n_chars").cast("decimal(30,4)")).cast("double")
-                / F.count("*").cast("double"),
-                6,
+                / F.count("*").cast("double")
             ).alias("mean_chars"),
         )
         .orderBy("thr")

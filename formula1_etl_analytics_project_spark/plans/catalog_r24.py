@@ -211,7 +211,10 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("w"),
             F.sum("y").cast("bigint").alias("s"),
         )
-    )
+    ).localCheckpoint()  # the <=20-row bin table feeds FOUR consumers
+    # (prefix sums -> k/i/j plus the final join); without the boundary
+    # each re-executes the orders scan + aggregate (the recompute trap,
+    # review catch)
     wcum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -270,11 +273,14 @@ WITH t AS (
   FROM t, UNNEST(generate_series(
     1, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(i)
 ), k AS (
-  SELECT md5(line) AS h, MIN(doc_id * 1000 + idx) AS keep
+  -- injective first-occurrence key: a lexicographic (doc_id, idx)
+  -- struct min; the earlier doc_id*1000+idx encoding collided for
+  -- documents with >= 1000 spans (review catch)
+  SELECT md5(line) AS h, MIN({'d': doc_id, 'i': idx}) AS keep
   FROM l GROUP BY md5(line)
 ), j AS (
   SELECT l.doc_id, l.idx, l.line,
-         (l.doc_id * 1000 + l.idx = k.keep) AS kept
+         (l.doc_id = k.keep.d AND l.idx = k.keep.i) AS kept
   FROM l JOIN k ON md5(l.line) = k.h
 )
 SELECT doc_id,
@@ -304,11 +310,14 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`cdc_chunk_dedup`), measured-not-removed n-grams
     (`dup_ngram_fraction`), and now remove-and-reassemble spans.
 
-    Distributed form: docs explode to (doc_id, idx, span) once; the
-    global first-occurrence is MIN(doc_id*1000+idx) grouped by the
-    span's md5 - only the 32-byte digest and one BIGINT go through
-    the wide shuffle that determines keepers; the join back to span
-    text is digest-keyed. Reassembly is the repo's order-stable
+    Distributed form: docs explode to (doc_id, idx, span) once (the
+    span table is persisted - it feeds both the keeper aggregate and
+    the join-back); the global first-occurrence is the lexicographic
+    MIN over (doc_id, idx) structs grouped by the span's md5 (an
+    INJECTIVE key - an arithmetic doc_id*k+idx encoding collides once
+    a document has >= k spans) - only the 32-byte digest and two
+    BIGINTs go through the wide shuffle that determines keepers; the
+    join back to span text is digest-keyed. Reassembly is the repo's order-stable
     collect: array_sort over (idx, span) structs, then join+md5, so
     the output row is a fixed-width fingerprint, not a text blob.
 
@@ -331,11 +340,23 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("idx").cast("bigint").alias("idx"), "line",
         F.md5("line").alias("h"),
     )
+    # the span table feeds BOTH the keeper aggregate and the join-back;
+    # without a boundary the scan+split+md5 pipeline executes twice
+    # (the recompute trap, review catch)
+    from pyspark.storagelevel import StorageLevel
+
+    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    # injective first-occurrence key: lexicographic (doc_id, idx)
+    # struct min - doc_id*1000+idx collided for docs with >= 1000
+    # spans (review catch; both twins shared the bug, so parity
+    # could not see it)
     keep = lines.groupBy("h").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("idx")).alias("keep")
+        F.min(F.struct("doc_id", "idx")).alias("keep")
     )
     joined = lines.join(keep, "h").withColumn(
-        "kept", F.col("doc_id") * 1000 + F.col("idx") == F.col("keep")
+        "kept",
+        (F.col("doc_id") == F.col("keep.doc_id"))
+        & (F.col("idx") == F.col("keep.idx")),
     )
     return (
         joined.groupBy("doc_id")
@@ -517,10 +538,13 @@ def q_seasonal_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trend"),
         F.count("*").over(w).alias("nw"),
     )
+    # the detrended series feeds TWO consumers (the seasonal index and
+    # the remainder join) - checkpoint so the events scan + trend
+    # window run once (the recompute trap, review catch)
     detr = tr.filter(F.col("nw") >= 13).select(
         (F.col("hr") % 24).alias("hod"),
         (F.col("hv") - F.col("trend")).alias("d"),
-    )
+    ).localCheckpoint()
     seas = detr.groupBy("hod").agg(
         F.count("*").alias("n_obs"),
         (

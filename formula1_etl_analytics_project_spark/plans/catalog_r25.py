@@ -83,11 +83,14 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final covered/total division, identical on both engines.
     """
     docs = read_table(spark, sf_dir, "documents", spread=True)
+    # the token histogram feeds TWO consumers (the total and the
+    # top-50 cut) - checkpoint it so the explode+groupBy runs once
+    # (the recompute trap, review catch)
     cnt = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint()
     tot = cnt.agg(F.sum("c").cast("bigint").alias("total"))
     topn = cnt.orderBy(F.col("c").desc(), F.col("t")).limit(50)
     rk_w = Window.orderBy(F.col("c").desc(), F.col("t"))
@@ -310,9 +313,9 @@ WITH tok AS (
 SELECT source,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
-       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS hapax_frac
+       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS hapax_frac
 FROM tc GROUP BY source ORDER BY source
 """
 
@@ -351,15 +354,12 @@ def q_lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
             F.count("*").cast("bigint").alias("n_types"),
-            F.round(
-                F.count("*").cast("double") / F.sum("c"), 6
-            ).alias("ttr"),
-            F.round(
+            (F.count("*").cast("double") / F.sum("c")).alias("ttr"),
+            (
                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(
                     "double"
                 )
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("hapax_frac"),
         )
         .orderBy("source")

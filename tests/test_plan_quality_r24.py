@@ -90,7 +90,10 @@ def test_line_dedup_exchanges_digest_not_text(spark):
         for l in plan.splitlines()
         if "HashAggregate" in l or "Keys" in l or "Functions" in l
     ]
-    assert any("min" in l and "1000" in l for l in agg)
+    # keeper = lexicographic min over (doc_id, idx) structs - the
+    # injective first-occurrence key (doc_id*1000+idx collided for
+    # docs with >= 1000 spans)
+    assert any("min" in l and "struct" in l for l in agg)
     # Keeper join is digest-keyed; at sf0.001 stats allow a broadcast,
     # at corpus scale the same plan degrades gracefully to sort-merge.
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

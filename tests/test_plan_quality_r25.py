@@ -26,7 +26,10 @@ def test_vocab_coverage_window_runs_on_takeordered_top50(spark):
     the type histogram is map-side combinable."""
     plan = _plan(spark, "vocab_coverage_curve")
     assert "TakeOrderedAndProject" in plan
-    assert "partial_count" in plan
+    # the token histogram is checkpointed (it feeds the total AND the
+    # top-50 cut); the final plan reads the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert "SortMergeJoin" not in plan
 
 
