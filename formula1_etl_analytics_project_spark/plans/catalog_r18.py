@@ -860,12 +860,10 @@ WITH digits AS (
 )
 SELECT digit,
        CAST(cnt AS BIGINT) AS cnt,
-       ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS observed_p,
-       ROUND(CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE), 9)
-         AS expected_p,
-       ROUND(ABS(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
-                 - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)), 9)
-         AS abs_dev
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS observed_p,
+       CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS expected_p,
+       ABS(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+           - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)) AS abs_dev
 FROM w
 ORDER BY digit
 """
@@ -923,9 +921,9 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnts.select(
             "digit",
             F.col("cnt").cast("bigint").alias("cnt"),
-            F.round(obs, 9).alias("observed_p"),
-            F.round(expected, 9).alias("expected_p"),
-            F.round(F.abs(obs - expected), 9).alias("abs_dev"),
+            obs.alias("observed_p"),
+            expected.cast("double").alias("expected_p"),
+            F.abs(obs - expected).alias("abs_dev"),
         )
         .orderBy("digit")
     )
@@ -952,9 +950,9 @@ WITH cls AS (
 )
 SELECT c_nationkey, c_mktsegment,
        CAST(n AS BIGINT) AS group_size,
-       ROUND(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_neg,
-       ROUND(ABS(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)
-                 - CAST(gneg AS DOUBLE) / CAST(gn AS DOUBLE)), 9) AS t_dist,
+       CAST(neg AS DOUBLE) / CAST(n AS DOUBLE) AS p_neg,
+       ABS(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(gneg AS DOUBLE) / CAST(gn AS DOUBLE)) AS t_dist,
        CAST(ABS(CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)
                 - CAST(gneg AS DOUBLE) / CAST(gn AS DOUBLE)) <= {_TCLOSE_T}
             AS INT) AS t_ok
@@ -984,9 +982,11 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     input to the ratios is an exact integer; each ratio is ONE double
     division of int64-exact operands (correctly rounded, identical
     IEEE in both engines); the distance is the same two-term
-    expression in the same operand order; the t_ok flag compares the
-    UNROUNDED distance so the decision and the displayed round-9
-    value cannot disagree between engines.
+    expression in the same operand order, shipped UNROUNDED (IEEE
+    divide/subtract/abs of identical operands is bit-identical, and
+    round() near a half-boundary is the one step that is not), so the
+    t_ok flag and the displayed distance cannot disagree between
+    engines.
 
     Shape at 100 TB: one corpus-scale hash aggregate (map-side
     combinable) to the |QI classes|-row class table; the global
@@ -1014,8 +1014,8 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             F.col("n").cast("bigint").alias("group_size"),
-            F.round(p, 9).alias("p_neg"),
-            F.round(dist, 9).alias("t_dist"),
+            p.alias("p_neg"),
+            dist.alias("t_dist"),
             (dist <= F.lit(_TCLOSE_T)).cast("int").alias("t_ok"),
         )
         .orderBy("c_nationkey", "c_mktsegment")

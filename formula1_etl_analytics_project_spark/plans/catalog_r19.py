@@ -98,10 +98,10 @@ WITH labeled AS (
             / (CAST(t.n_cur AS DOUBLE) + 2.5)
           - (CAST(g.c_base AS DOUBLE) + 0.5)
             / (CAST(t.n_base AS DOUBLE) + 2.5))
-         * ln(((CAST(g.c_cur AS DOUBLE) + 0.5)
-                 / (CAST(t.n_cur AS DOUBLE) + 2.5))
-              / ((CAST(g.c_base AS DOUBLE) + 0.5)
-                 / (CAST(t.n_base AS DOUBLE) + 2.5))) AS term
+         * ROUND(ln(((CAST(g.c_cur AS DOUBLE) + 0.5)
+                       / (CAST(t.n_cur AS DOUBLE) + 2.5))
+                    / ((CAST(g.c_base AS DOUBLE) + 0.5)
+                       / (CAST(t.n_base AS DOUBLE) + 2.5))), 9) AS term
   FROM grid g JOIN totals t USING (event_type)
 )
 SELECT event_type,
@@ -133,7 +133,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: bucket and period labels are integer/timestamp
     compares; shares divide exact integers through the identical
-    expression tree in both engines; the 5 per-bucket terms
+    expression tree in both engines; the ln() ratio — the one
+    transcendental — is round(9)-guarded before the product so a
+    cross-libm ulp cannot reach the sum; the 5 per-bucket terms
     decimal-sum (order-free) before the final round.
 
     Shape at 100 TB: ONE scan of events into a (type, bucket)
@@ -198,7 +200,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_base = (F.col("c_base").cast("double") + F.lit(0.5)) / (
         F.col("n_base").cast("double") + F.lit(2.5)
     )
-    term = ((p_cur - p_base) * F.log(p_cur / p_base)).cast("decimal(38,12)")
+    # ln() is the one cross-libm transcendental in the term: round it
+    # to 9 digits BEFORE the product/decimal-sum (degree_powerlaw /
+    # token_zipf_fit idiom) so a sub-9th-digit ulp divergence between
+    # JVM StrictMath and DuckDB's libm cannot reach the decimal sum.
+    term = (
+        (p_cur - p_base) * F.round(F.log(p_cur / p_base), 9)
+    ).cast("decimal(38,12)")
     return (
         dense.groupBy("event_type", "n_base", "n_cur")
         .agg(F.round(F.sum(term).cast("double"), 6).alias("psi"))

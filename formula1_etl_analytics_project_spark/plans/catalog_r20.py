@@ -80,19 +80,21 @@ WITH s AS (
          (s2_b - s1_b * s1_b / CAST(n_b AS DOUBLE))
            / CAST(n_b - 1 AS DOUBLE) AS v_b
   FROM agg
+), se AS (
+  SELECT n_a, n_b, m_a, m_b,
+         v_a / CAST(n_a AS DOUBLE) AS se2_a,
+         v_b / CAST(n_b AS DOUBLE) AS se2_b
+  FROM stats
 )
 SELECT n_a, n_b,
        m_a AS mean_a,
        m_b AS mean_b,
-       ROUND((m_a - m_b)
-             / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)),
-             6) AS t_stat,
-       ROUND(pow(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 2.0)
-             / (pow(v_a / CAST(n_a AS DOUBLE), 2.0) / CAST(n_a - 1 AS DOUBLE)
-                + pow(v_b / CAST(n_b AS DOUBLE), 2.0)
-                  / CAST(n_b - 1 AS DOUBLE)),
+       ROUND((m_a - m_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+       ROUND((se2_a + se2_b) * (se2_a + se2_b)
+             / (se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)
+                + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE)),
              6) AS dof
-FROM stats
+FROM se
 """
 
 
@@ -175,10 +177,10 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_b.alias("mean_b"),
         F.round((m_a - m_b) / F.sqrt(se2_a + se2_b), 6).alias("t_stat"),
         F.round(
-            F.pow(se2_a + se2_b, F.lit(2.0))
+            (se2_a + se2_b) * (se2_a + se2_b)
             / (
-                F.pow(se2_a, F.lit(2.0)) / (F.col("n_a") - 1).cast("double")
-                + F.pow(se2_b, F.lit(2.0))
+                se2_a * se2_a / (F.col("n_a") - 1).cast("double")
+                + se2_b * se2_b
                 / (F.col("n_b") - 1).cast("double")
             ),
             6,
@@ -205,8 +207,8 @@ WITH obs AS (
          (SELECT COUNT(*) FROM colt) AS c
   FROM obs
 ), chi AS (
-  SELECT CAST(SUM(CAST(POWER(o.n - (r.rt * c.ct / CAST(t.n_total AS DOUBLE)),
-                             2)
+  SELECT CAST(SUM(CAST((o.n - (r.rt * c.ct / CAST(t.n_total AS DOUBLE)))
+                       * (o.n - (r.rt * c.ct / CAST(t.n_total AS DOUBLE)))
                        / (r.rt * c.ct / CAST(t.n_total AS DOUBLE))
                        AS DECIMAL(38,12))) AS DOUBLE) AS chi2
   FROM obs o
@@ -277,7 +279,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exp = F.col("rt") * F.col("ct") / F.col("n_total").cast("double")
     term = (
-        F.pow(F.col("n") - exp, F.lit(2)) / exp
+        (F.col("n") - exp) * (F.col("n") - exp) / exp
     ).cast("decimal(38,12)")
     chi = cells.groupBy("n_total", "r", "c").agg(
         F.sum(term).cast("double").alias("chi2")
@@ -404,8 +406,8 @@ WITH life AS (
 ), curve AS (
   SELECT dur, d, n_risk,
          CAST(SUM(CASE WHEN d < n_risk
-                       THEN CAST(ln(1.0 - CAST(d AS DOUBLE)
-                                        / CAST(n_risk AS DOUBLE))
+                       THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                                             / CAST(n_risk AS DOUBLE)), 9)
                                  AS DECIMAL(38,12))
                        ELSE CAST(0 AS DECIMAL(38,12)) END)
               OVER (ORDER BY dur) AS DOUBLE) AS log_s,
@@ -434,8 +436,9 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct lifetime t: n_risk = users with lifetime >= t (reverse
     cumulative sum), d = churned there, and
     S(t) = prod_{s<=t} (1 - d_s/n_s), computed in log space
-    (decimal-summed ln terms, one exp) so the product is
-    order-independent. The all-die endpoint (d = n_risk, factor
+    (round(9)-guarded ln terms decimal-summed, one exp) so the
+    product is order-independent and a cross-libm ln ulp cannot
+    reach the sum. The all-die endpoint (d = n_risk, factor
     exactly 0) propagates as an explicit hit-zero FLAG - never
     ln(0) = -inf through the arithmetic (the non-finite-double sweep
     bans it).
@@ -479,11 +482,17 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_risk"),
     )
+    # round(9) the ln BEFORE the decimal sum (degree_powerlaw idiom):
+    # the DECIMAL(38,12) cast alone quantizes at 1e-12, weaker than
+    # the documented cross-libm ln ulp tolerance.
     ln_term = F.when(
         F.col("d") < F.col("n_risk"),
-        F.log(
-            F.lit(1.0)
-            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
         ).cast("decimal(38,12)"),
     ).otherwise(F.lit(0).cast("decimal(38,12)"))
     curve = risk.select(
