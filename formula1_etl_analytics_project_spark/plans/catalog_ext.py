@@ -223,13 +223,24 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: the reference's DB sequences (SEQ_laps_id) as deterministic
-    row_number over an explicit total order. A global window serializes
-    one pass - acceptable for dimension-sized tables; fact-scale
-    surrogate keys use zipWithIndex/monotonically_increasing_id."""
+    dense ids over an explicit total order. The oracle states the
+    obvious ROW_NUMBER; the Spark side takes the SAME sequence from
+    ``distributed_sequence`` (range shuffle + broadcast offsets,
+    operators/sequence.py) - supplier is dimension-sized today, but
+    dimensions grow with the corpus and the distributed form costs
+    the same two narrow passes at every size, so there is no reason
+    to keep the single-partition window even here (the window-grain
+    plan contract bans it without a boundedness argument)."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
     sup = read_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_suppkey")
-    return sup.select(
-        F.row_number().over(w).alias("seq"), "s_suppkey", "s_name"
+    return (
+        distributed_sequence(
+            sup.select("s_suppkey", "s_name"), "s_suppkey", "seq"
+        )
+        .select(F.col("seq").cast("int").alias("seq"), "s_suppkey", "s_name")
     )
 
 
@@ -921,17 +932,59 @@ def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing: customers into spend quartiles. A global
-    window (single ordered pass) - fine for entity-grained outputs;
-    at fact grain the same bucketing is percent_rank over partitioned
-    windows. Total tie-break order keeps both engines identical."""
+    """NTILE bucketing: customers into spend quartiles, WITHOUT the
+    single-partition window the oracle's plain NTILE implies. The
+    customer grain is unbounded (grows with the corpus), so
+    ``Window.orderBy(total)`` - one task holding every customer - is
+    the scale-killer the `equi_depth_histogram` pattern exists for:
+    take the global rank from ``distributed_sequence`` (one range
+    shuffle + broadcast offsets, operators/sequence.py) and derive
+    the bucket from rank arithmetic.
+
+    NTILE(k) is NOT ``(rank-1)*k div N``: with N = q*k + r, NTILE
+    front-loads the remainder (buckets 1..r get q+1 rows, the rest
+    q), while the div formula interleaves the outsized buckets (at
+    N=10, k=4: NTILE gives 3,3,2,2; div gives 3,2,3,2). The exact
+    rank->bucket map, in int arithmetic both engines share:
+    rank <= r*(q+1)  ->  (rank-1) div (q+1) + 1
+    else             ->  r + (rank - r*(q+1) - 1) div q + 1.
+    DESC order rides through the ascending-only sequence as a negated
+    sort key (exact for doubles). Ties broken by o_custkey, so the
+    rank - and therefore the bucket - is total and deterministic.
+
+    Shape at 100 TB: one hash aggregate to customer grain, one range
+    shuffle of (neg_total, custkey), a partition-count-sized offset
+    table; no unbounded-grain single-partition WindowExec anywhere
+    (pinned by tests/test_window_grain_contract.py, which has no
+    allowlist row for this entry)."""
+    from formula1_etl_analytics_project_spark.operators.sequence import (
+        distributed_sequence,
+    )
+
     orders = read_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         _dsum(F.col("o_totalprice"), "total")
     )
-    w = Window.orderBy(F.col("total").desc(), "o_custkey")
-    return spend.select(
-        "o_custkey", "total", F.ntile(4).over(w).alias("quartile")
+    ranked = distributed_sequence(
+        spend.withColumn("__neg_total", -F.col("total")),
+        ["__neg_total", "o_custkey"],
+        "__rk",
+    )
+    n = spend.count()
+    q, r = divmod(n, 4)
+    head = r * (q + 1)
+    rk = F.col("__rk")
+    quartile = (
+        F.when(
+            rk <= F.lit(head),
+            F.expr(f"(__rk - 1) div {q + 1}"),
+        ).otherwise(F.expr(f"{r} + (__rk - {head} - 1) div {max(q, 1)}"))
+        + 1
+    )
+    return ranked.select(
+        "o_custkey",
+        "total",
+        quartile.cast("int").alias("quartile"),
     )
 
 
