@@ -80,6 +80,7 @@ FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
     "knn_graph_blocked",
     _KNN_SQL,
     tags=("vector", "similarity", "graph"),
+    bench=True,
 )
 def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus kNN graph: each vector's top-3 cosine neighbors

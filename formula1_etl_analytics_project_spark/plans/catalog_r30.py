@@ -97,6 +97,7 @@ def _argmax1(df: DataFrame, score_col: str) -> DataFrame:
     "mmr_diversify",
     _MMR_SQL,
     tags=("text", "retrieval", "eval"),
+    bench=True,
 )
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: from the BM25 top-10,

@@ -60,6 +60,7 @@ FROM sized GROUP BY size ORDER BY size
     "dedup_cluster_size_stats",
     _CLUSTER_STATS_SQL,
     tags=("dedup", "agg", "eval"),
+    bench=True,
 )
 def q_dedup_cluster_size_stats(
     spark: SparkSession, sf_dir: str

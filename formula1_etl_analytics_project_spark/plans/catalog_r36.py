@@ -74,6 +74,7 @@ GROUP BY s.stage, s.name ORDER BY s.stage
     "curation_waterfall",
     _WATERFALL_SQL,
     tags=("text", "dedup", "quality", "eval"),
+    bench=True,
 )
 def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation savings waterfall: doc and token mass surviving

@@ -31,16 +31,32 @@ for a in sys.argv[1:]:
         ALL = True
 
 
-def _stage_totals(ui: str, app: str) -> dict:
+def _stage_totals_once(ui: str, app: str) -> dict:
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
-    tot = {"input": 0, "sh_read": 0, "sh_write": 0}
+    tot = {"input": 0, "sh_read": 0, "sh_write": 0, "n_stages": len(stages)}
     for s in stages:
         tot["input"] += s.get("inputBytes", 0)
         tot["sh_read"] += s.get("shuffleReadBytes", 0)
         tot["sh_write"] += s.get("shuffleWriteBytes", 0)
     return tot
+
+
+def _stage_totals(ui: str, app: str) -> dict:
+    """Poll until two consecutive reads agree (stages publish their
+    metrics to the UI store asynchronously - a fixed post-query sleep
+    can read a stage's totals before they land and attribute its
+    bytes to the NEXT query). Bounded at ~5 s so a hung store cannot
+    stall the sweep."""
+    prev = _stage_totals_once(ui, app)
+    for _ in range(25):
+        time.sleep(0.2)
+        cur = _stage_totals_once(ui, app)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def _fmt(b: float) -> str:
@@ -86,7 +102,6 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         dt = time.perf_counter() - t0
-        time.sleep(0.3)  # let the UI store catch up
         after = _stage_totals(ui, app)
         inp = after["input"] - before["input"]
         shw = after["sh_write"] - before["sh_write"]
