@@ -107,7 +107,9 @@ def _sql_dsum(expr, alias, scale=4):
            {_sql_dsum('l_quantity', 'sum_qty')},
            {_sql_dsum('l_extendedprice', 'sum_base_price')},
            {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -118,7 +120,16 @@ def _sql_dsum(expr, alias, scale=4):
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg
-    with map-side partial aggregation. The flagship batch-agg query."""
+    with map-side partial aggregation. The flagship batch-agg query.
+
+    sum_charge quantizes its exact scale-6 decimal sum to 2 dp (same
+    HALF_UP round in both engines) BEFORE the double cast: at sf1 the
+    scale-6 scaled integer passes 2^53 (sum ~2.8e10 * 1e6), where
+    DuckDB's decimal->double conversion double-rounds while the JVM
+    BigDecimal path is correctly rounded - the sf1 parity sweep
+    caught the 1-ulp divergence. At 2 dp the scaled integer fits a
+    double exactly through ~9e13, so both engines convert
+    identically."""
     li = read_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -128,7 +139,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_quantity"), "sum_qty"),
             _dsum(F.col("l_extendedprice"), "sum_base_price"),
             _dsum(disc, "sum_disc_price"),
-            _dsum(disc * (1 + F.col("l_tax")), "sum_charge", 6),
+            F.round(
+                F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(30,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )

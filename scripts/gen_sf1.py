@@ -15,7 +15,7 @@ key-shifted replica of sf0.1, NOT a driver-identical distribution:
   patterns, text token distributions, and embedding vectors are all
   preserved verbatim, so every catalog literal (calendar splits,
   price thresholds, query terms) still binds;
-* documents get a per-replica suffix token appended (and n_chars
+* documents get a per-replica LETTER suffix token appended ("repla".."repli" - letter-only, because the tokenizer twins legitimately disagree on mixed-alphanumeric tokens the real corpus never contains) (and n_chars
   recomputed) so the exact/near-dup cluster structure of each replica
   is preserved without creating 10x-sized cross-replica clusters
   whose pair counts would grow quadratically;
@@ -142,10 +142,11 @@ def main() -> None:
         "documents",
         f"""SELECT doc_id + r * {off['doc_id']} AS doc_id,
                    CASE WHEN r = 0 THEN text
-                        ELSE text || ' repl' || r END AS text,
+                        ELSE text || ' repl' || chr(CAST(96 + r AS INTEGER)) END AS text,
                    lang, source,
                    CASE WHEN r = 0 THEN n_chars
-                        ELSE length(text || ' repl' || r) END AS n_chars
+                        ELSE length(text || ' repl' || chr(CAST(96 + r AS INTEGER)))
+                   END AS n_chars
             FROM documents CROSS JOIN {rep}""",
     )
     write(

@@ -76,9 +76,17 @@ def main() -> None:
 
     # the engine session disables the UI; this measurement needs its
     # REST metrics, so turn it on for this process only
+    # retainedStages must exceed the sweep's total stage count: the
+    # UI store evicts old stages past the default 1000, which makes
+    # the before/after diffs NEGATIVE once a long --all sweep passes
+    # the threshold (caught in round 6: 33 corrupted rows).
     spark = get_spark(
         app_name="shuffle-measure",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "300000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
