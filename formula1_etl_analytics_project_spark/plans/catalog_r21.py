@@ -88,7 +88,7 @@ WITH rep AS (
   SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
-       CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(m AS DECIMAL(38,12))), 6) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS mean_boot,
        MAX(CASE WHEN rn = 3 THEN m END) AS ci_lo,
        MAX(CASE WHEN rn = 98 THEN m END) AS ci_hi
@@ -179,8 +179,15 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_reps"),
+        # round(6) the exact decimal sum BEFORE the double cast: the
+        # replicate means are ~order-total magnitude, so the scale-12
+        # sum's scaled integer passes 2^53 at sf1 and DuckDB's
+        # int128->double-then-divide conversion double-rounds where
+        # the JVM BigDecimal path is correctly rounded (the
+        # pricing_summary sum_charge cliff, second sighting).
         (
-            F.sum(F.col("m").cast("decimal(38,12)")).cast("double")
+            F.round(F.sum(F.col("m").cast("decimal(38,12)")), 6)
+            .cast("double")
             / F.count("*").cast("double")
         ).alias("mean_boot"),
         F.max(F.when(F.col("rn") == 3, F.col("m"))).alias("ci_lo"),

@@ -434,7 +434,7 @@ WITH daily AS (
     ON b.day BETWEEN a.day - 19 AND a.day
 )
 SELECT day, n_orders, revenue,
-       CAST(SUM(CAST(w AS DECIMAL(19,6)) * rev_b) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(w AS DECIMAL(19,6)) * rev_b), 4) AS DOUBLE)
          / CAST(SUM(w) AS DOUBLE) AS ema20
 FROM lagged GROUP BY day, n_orders, revenue ORDER BY day
 """
@@ -460,9 +460,12 @@ def q_ema_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the output boundary, with operands cast to DECIMAL(19,*) so
     the product computes in int128 (DuckDB multiplies narrower
     decimals in int64 and overflows at large daily revenue - review
-    catch). ema20 is left UNROUNDED: the quotient of two exact
-    decimals is the same double in both engines, while round(6) can
-    flip on an exact half-boundary rational.
+    catch). The numerator sum is round(4)-quantized before its
+    double cast so its scaled integer stays under 2^53 (above that,
+    DuckDB's decimal->double conversion double-rounds where the JVM
+    BigDecimal path is correctly rounded - caught at sf1); the
+    quotient itself ships UNROUNDED, since round(6) can flip on an
+    exact half-boundary rational.
 
     Distributed form: the corpus-scale work is the daily rollup (one
     map-side-combinable exchange). The 20-day trailing join runs on
@@ -530,9 +533,18 @@ def q_ema_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             # product), while a 19-digit operand forces DuckDB's
             # multiply into int128 (int64 overflows at large daily
             # revenue)
+            # round(4) the exact decimal numerator BEFORE the double
+            # cast: at sf1 its scale-8 scaled integer passes 2^53,
+            # where DuckDB's int128->double-then-divide conversion
+            # double-rounds while the JVM BigDecimal path is
+            # correctly rounded (the sum_charge cliff, third
+            # sighting; the denominator sum(w) ~ 5 is decades away).
             (
-                F.sum(
-                    F.col("w").cast("decimal(19,6)") * F.col("rev_b")
+                F.round(
+                    F.sum(
+                        F.col("w").cast("decimal(19,6)") * F.col("rev_b")
+                    ),
+                    4,
                 ).cast("double")
                 / F.sum("w").cast("double")
             ).alias("ema20")
