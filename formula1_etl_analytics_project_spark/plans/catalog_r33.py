@@ -35,29 +35,66 @@ from formula1_etl_analytics_project_spark.sources.readers import read_table
 # One-way ANOVA over day-of-week groups
 # ===========================================================================
 
-_ANOVA_SQL = """
+# Day-of-week is a FIXED 7-way split, so the 7 group moments pivot
+# into columns and every cross-group reduction is an EXPLICIT
+# left-associated chain of double adds - bit-identical in both
+# engines at ANY magnitude. This replaces decimal round-trips
+# entirely: the entry's sums-of-squares (~5e16 at sf1) exceed 2^53
+# as VALUES, where decimal<->double conversions double-round in
+# DuckDB (the sum_charge cliff) and no output rounding can reconcile
+# them (caught at sf1: ms_between diverged by 2.7 absolute). The one
+# rounding left is ROUND(ss, 0) - the per-group sum-of-squares
+# quantized to integer grain (exact decimal round, identical in both
+# engines) so its value stays exactly double-representable through
+# ~9e15 per group.
+_ANOVA_PIV_SQL = ",\n         ".join(
+    f"COALESCE(MAX(CASE WHEN dow = {d} THEN s_d END), 0.0) AS s{d},\n"
+    f"         COALESCE(MAX(CASE WHEN dow = {d} THEN ss_d END), 0.0)"
+    f" AS ss{d},\n"
+    f"         COALESCE(MAX(CASE WHEN dow = {d} THEN CAST(n AS DOUBLE)"
+    f" END), 0.0) AS n{d}"
+    for d in range(1, 8)
+)
+
+_ANOVA_SB = {
+    d: f"(CASE WHEN n{d} > 0 THEN s{d} * s{d} / n{d} ELSE 0.0 END)"
+    for d in range(1, 8)
+}
+_ANOVA_SALL = " + ".join(f"s{d}" for d in range(1, 8))
+_ANOVA_NUMB_SQL = (
+    "("
+    + " + ".join(_ANOVA_SB[d] for d in range(1, 8))
+    + f" - ({_ANOVA_SALL}) * ({_ANOVA_SALL}) / CAST(n_total AS DOUBLE))"
+)
+_ANOVA_NUMW_SQL = (
+    "(" + " + ".join(f"(ss{d} - {_ANOVA_SB[d]})" for d in range(1, 8)) + ")"
+)
+
+_ANOVA_SQL = f"""
 WITH grp AS (
-  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS s,
          SUM(CAST(o_totalprice AS DECIMAL(19,2))
              * CAST(o_totalprice AS DECIMAL(19,2))) AS ss
   FROM orders GROUP BY 1
-), tot AS (
+), gd AS (
+  SELECT dow, n,
+         CAST(s AS DOUBLE) AS s_d,
+         CAST(ROUND(ss, 0) AS DOUBLE) AS ss_d
+  FROM grp
+), piv AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS n_total,
-         CAST(SUM(CAST(s AS DECIMAL(38,2))) AS DOUBLE) AS s_all,
-         CAST(SUM(CAST(ss AS DECIMAL(38,4))) AS DOUBLE) AS ss_all,
-         CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
-                  AS DECIMAL(38,6))) AS DOUBLE) AS sb_term
-  FROM grp
+         {_ANOVA_PIV_SQL}
+  FROM gd
 )
 SELECT k, n_total,
-       (sb_term - s_all * s_all / n_total) / (k - 1) AS ms_between,
-       (ss_all - sb_term) / (n_total - k) AS ms_within,
-       ((sb_term - s_all * s_all / n_total) / (k - 1))
-         / ((ss_all - sb_term) / (n_total - k)) AS f_stat
-FROM tot
+       {_ANOVA_NUMB_SQL} / CAST(k - 1 AS DOUBLE) AS ms_between,
+       {_ANOVA_NUMW_SQL} / CAST(n_total - k AS DOUBLE) AS ms_within,
+       ({_ANOVA_NUMB_SQL} / CAST(k - 1 AS DOUBLE))
+         / ({_ANOVA_NUMW_SQL} / CAST(n_total - k AS DOUBLE)) AS f_stat
+FROM piv
 """
 
 
@@ -74,11 +111,15 @@ def q_anova_dow_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dow_seasonality`'s descriptive profile.
 
     Determinism: per-group n/sum/sum-of-squares are exact decimals
-    (squares via 19-digit operands -> int128 products); the one
-    derived-double term, sum(s_g^2/n_g), pins each group's quotient
-    to 6 dp BEFORE the decimal sum (7 groups, order-free); every
-    later expression has an identical shape in both twins, so
-    ms_between/ms_within/f_stat are bit-identical unrounded doubles.
+    (squares via 19-digit operands -> int128 products), cast out to
+    doubles at magnitudes that remain exactly representable (ss is
+    integer-quantized first); day-of-week is a FIXED 7-way split, so
+    the groups pivot into columns and every cross-group reduction is
+    an explicit left-associated chain of double adds, identical text
+    in both twins - bit-identical at ANY magnitude, with no decimal
+    round-trip whose scaled integer could pass 2^53 (the sf1 cliff;
+    DuckDB's dayofweek is 0-6 vs Spark's 1-7, aligned with +1 now
+    that group identity reaches the pivot).
 
     Distributed form: one pushed-projection scan, a 7-group
     map-side-combinable moment aggregate, then a 7-row rollup.
@@ -97,32 +138,56 @@ def q_anova_dow_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("o_totalprice").cast("decimal(19,2)")
         ).alias("ss"),
     )
-    tot = grp.agg(
+    # Pivot the 7 fixed groups into columns; every cross-group
+    # reduction below is an explicit left-associated double-add
+    # chain, mirroring the oracle's expression text exactly (see the
+    # module-level rationale: the SS magnitudes pass 2^53 at sf1, so
+    # decimal round-trips cannot be engine-identical there).
+    gd = grp.select(
+        "dow",
+        "n",
+        F.col("s").cast("double").alias("s_d"),
+        F.round(F.col("ss"), 0).cast("double").alias("ss_d"),
+    )
+    piv_cols = [
         F.count("*").cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("n_total"),
-        F.sum(F.col("s").cast("decimal(38,2)")).cast("double").alias("s_all"),
-        F.sum(F.col("ss").cast("decimal(38,4)"))
-        .cast("double")
-        .alias("ss_all"),
-        F.sum(
-            F.round(
-                F.col("s").cast("double")
-                * F.col("s").cast("double")
-                / F.col("n"),
-                6,
-            ).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("sb_term"),
-    )
-    msb = (
-        F.col("sb_term")
-        - F.col("s_all") * F.col("s_all") / F.col("n_total")
-    ) / (F.col("k") - 1)
-    msw = (F.col("ss_all") - F.col("sb_term")) / (
-        F.col("n_total") - F.col("k")
-    )
-    return tot.select(
+    ]
+    for d in range(1, 8):
+        piv_cols += [
+            F.coalesce(
+                F.max(F.when(F.col("dow") == d, F.col("s_d"))), F.lit(0.0)
+            ).alias(f"s{d}"),
+            F.coalesce(
+                F.max(F.when(F.col("dow") == d, F.col("ss_d"))), F.lit(0.0)
+            ).alias(f"ss{d}"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("dow") == d, F.col("n").cast("double"))
+                ),
+                F.lit(0.0),
+            ).alias(f"n{d}"),
+        ]
+    piv = gd.agg(*piv_cols)
+
+    def sb(d):
+        return F.when(
+            F.col(f"n{d}") > 0,
+            F.col(f"s{d}") * F.col(f"s{d}") / F.col(f"n{d}"),
+        ).otherwise(F.lit(0.0))
+
+    s_all = F.col("s1")
+    for d in range(2, 8):
+        s_all = s_all + F.col(f"s{d}")
+    sb_sum = sb(1)
+    sw_sum = F.col("ss1") - sb(1)
+    for d in range(2, 8):
+        sb_sum = sb_sum + sb(d)
+        sw_sum = sw_sum + (F.col(f"ss{d}") - sb(d))
+    num_b = sb_sum - s_all * s_all / F.col("n_total").cast("double")
+    msb = num_b / (F.col("k") - 1).cast("double")
+    msw = sw_sum / (F.col("n_total") - F.col("k")).cast("double")
+    return piv.select(
         "k",
         "n_total",
         msb.alias("ms_between"),
