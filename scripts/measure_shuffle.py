@@ -33,8 +33,17 @@ for a in sys.argv[1:]:
 
 def _stage_totals_once(ui: str, app: str) -> dict:
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as r:
-        stages = json.load(r)
+    stages = None
+    for attempt in range(5):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                stages = json.load(r)
+            break
+        except OSError:
+            # UI store slow under load - retry, don't kill the sweep
+            if attempt == 4:
+                raise
+            time.sleep(2.0)
     tot = {"input": 0, "sh_read": 0, "sh_write": 0, "n_stages": len(stages)}
     for s in stages:
         tot["input"] += s.get("inputBytes", 0)
@@ -104,13 +113,17 @@ def main() -> None:
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
-        fn(spark, SF_DIR).count()  # warm: JIT + page cache
-        spark.catalog.clearCache()
-        before = _stage_totals(ui, app)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
-        after = _stage_totals(ui, app)
+        try:
+            fn(spark, SF_DIR).count()  # warm: JIT + page cache
+            spark.catalog.clearCache()
+            before = _stage_totals(ui, app)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            after = _stage_totals(ui, app)
+        except Exception as ex:  # noqa: BLE001 - isolate, keep sweeping
+            print(f"| {name} | ERR | {str(ex)[:60]} | | |")
+            continue
         inp = after["input"] - before["input"]
         shw = after["sh_write"] - before["sh_write"]
         ratio = (shw / inp) if inp else float("nan")
