@@ -75,7 +75,14 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     recomputation. Only maxval 255 (1 byte/sample) is supported -
     the P6 common case.
     """
-    if payload is None or payload[:2] != b"P6":
+    # Sniff = magic + mandatory whitespace: bare b"P6" is a plausible
+    # prefix of ordinary text (an F1 position token), and committing
+    # to the codec on 2 bytes made the branch data-dependent.
+    if (
+        payload is None
+        or payload[:2] != b"P6"
+        or not payload[2:3].isspace()
+    ):
         raise ValueError("not a P6 PPM payload")
     # Header = magic, width, height, maxval as whitespace-separated
     # ASCII tokens (comments are #-to-EOL); pixel data starts after
@@ -94,6 +101,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        # Zero-area payloads must fail the same explicit way as other
+        # undecodable inputs (an empty rgb slice passes the length
+        # check below, then downstream means divide by n = 0).
+        raise ValueError(f"non-positive dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     rgb = payload[pos : pos + 3 * width * height]
@@ -112,13 +124,21 @@ def _decode_image(payload: bytes) -> list[float]:
     if payload is None:
         raise NotImplementedError("image decode requires a codec library")
     payload = bytes(payload)
-    if payload[:2] == b"P6":
-        width, height, rgb = decode_ppm(payload)
-        n = width * height
-        feats = [
-            sum(rgb[c::3]) / (255.0 * n) for c in range(3)
-        ]  # mean r, g, b in [0, 1]
-        return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+    if payload[:2] == b"P6" and payload[2:3].isspace():
+        try:
+            width, height, rgb = decode_ppm(payload)
+        except ValueError:
+            # Sniff passed but the header does not parse (e.g. utf-8
+            # text that merely starts "P6 "): fall back to the digest
+            # feature rather than failing - keeps the branch choice a
+            # pure function of decodability, not of a 2-byte prefix.
+            pass
+        else:
+            n = width * height
+            feats = [
+                sum(rgb[c::3]) / (255.0 * n) for c in range(3)
+            ]  # mean r, g, b in [0, 1]
+            return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 

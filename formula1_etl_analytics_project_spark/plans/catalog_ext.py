@@ -952,6 +952,11 @@ def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort key (exact for doubles). Ties broken by o_custkey, so the
     rank - and therefore the bucket - is total and deterministic.
 
+    N is derived IN-PLAN: a 1-row COUNT(*) over the ranked output
+    (which rides the sequence's persisted stamping pass) broadcast
+    cross-joined back, so plan construction launches no job and a run
+    aggregates orders exactly once - no driver-side ``spend.count()``.
+
     Shape at 100 TB: one hash aggregate to customer grain, one range
     shuffle of (neg_total, custkey), a partition-count-sized offset
     table; no unbounded-grain single-partition WindowExec anywhere
@@ -970,18 +975,23 @@ def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["__neg_total", "o_custkey"],
         "__rk",
     )
-    n = spend.count()
-    q, r = divmod(n, 4)
-    head = r * (q + 1)
-    rk = F.col("__rk")
-    quartile = (
-        F.when(
-            rk <= F.lit(head),
-            F.expr(f"(__rk - 1) div {q + 1}"),
-        ).otherwise(F.expr(f"{r} + (__rk - {head} - 1) div {max(q, 1)}"))
-        + 1
+    total_n = ranked.agg(F.count("*").alias("__n"))
+    # NTILE(4) from (rank, N) in integer arithmetic both engines
+    # share; q = N div 4, r = N % 4, head = r*(q+1). greatest(q, 1)
+    # only guards the N < 4 corner, where every rank lands in the
+    # head branch anyway.
+    quartile = F.expr(
+        """
+        CASE WHEN __rk <= (__n % 4) * (__n div 4 + 1)
+             THEN (__rk - 1) div (__n div 4 + 1) + 1
+             ELSE (__n % 4)
+                  + (__rk - (__n % 4) * (__n div 4 + 1) - 1)
+                    div greatest(__n div 4, 1)
+                  + 1
+        END
+        """
     )
-    return ranked.select(
+    return ranked.join(F.broadcast(total_n)).select(
         "o_custkey",
         "total",
         quartile.cast("int").alias("quartile"),

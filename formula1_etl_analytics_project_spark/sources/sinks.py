@@ -500,6 +500,7 @@ def upsert_parquet_partitioned(
     partition_col: str,
     order_col: str | None = None,
     check_moved_keys: bool | str = True,
+    evolve_schema: bool = False,
 ) -> None:
     """Fact-scale MERGE on partitioned parquet: only the partitions
     that contain incoming keys are read, merged, and rewritten -
@@ -549,6 +550,16 @@ def upsert_parquet_partitioned(
     exactly the partitions present in the result. Commit is per
     partition directory, so the non-atomicity window of
     ``upsert_parquet`` shrinks to the touched partitions.
+
+    ``evolve_schema`` (Delta ``mergeSchema``-on-MERGE twin): the
+    incoming batch may carry columns the snapshot lacks (and vice
+    versa); :func:`upsert` widens both sides with NULLs. Only the
+    TOUCHED partitions are rewritten with the widened schema -
+    untouched partition directories keep their old files, so the lake
+    is mixed-schema afterwards and readers must scan with
+    ``.option("mergeSchema", True)`` (the ``schema_evolution_scan``
+    pattern). Off by default: schema drift in a strict pipeline
+    should fail loudly.
     """
     if check_moved_keys == "bloom" and partition_col not in keys:
         from formula1_etl_analytics_project_spark.operators import (
@@ -616,7 +627,13 @@ def upsert_parquet_partitioned(
     merged = (
         incoming
         if existing is None
-        else upsert(existing, incoming, keys, order_col=order_col)
+        else upsert(
+            existing,
+            incoming,
+            keys,
+            order_col=order_col,
+            evolve_schema=evolve_schema,
+        )
     )
     # materialize before overwriting the files the plan reads
     merged = merged.localCheckpoint()

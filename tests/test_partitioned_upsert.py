@@ -178,3 +178,62 @@ def test_versioned_upsert_kill_windows_never_lose_the_snapshot(spark, tmp_path):
     assert _store_rows(spark, path) == {1: 1.0, 2: 9.0, 5: 5.0}
     versions = sorted(n for n in os.listdir(path) if n.startswith("_v"))
     assert versions == [v2, orphan]
+
+
+def test_partitioned_upsert_evolve_schema_mixed_lake(spark, tmp_path):
+    """evolve_schema=True: an incoming batch carrying a brand-new
+    column rewrites ONLY its partitions with the widened schema;
+    untouched partition files stay byte-identical (old schema), and a
+    mergeSchema read NULL-fills the column for them - the
+    Delta mergeSchema-on-MERGE composition (VERDICT r06 task 7)."""
+    base = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", float(i)) for i in range(100)],
+        ["k", "part", "v"],
+    )
+    path = str(tmp_path / "snap")
+    write_parquet(base, path, partition_by=["part"])
+    before_b = _files(path, "part=B")
+
+    incoming = spark.createDataFrame(
+        [(10, "A", 999.0, "x"), (1000, "A", 111.0, "y")],
+        ["k", "part", "v", "tag"],
+    )
+    upsert_parquet_partitioned(
+        spark, incoming, path, keys=["k"], partition_col="part",
+        evolve_schema=True,
+    )
+
+    # B untouched on disk: still the ORIGINAL schema, same files
+    assert _files(path, "part=B") == before_b
+    b_direct = spark.read.parquet(os.path.join(path, "part=B"))
+    assert "tag" not in b_direct.columns
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert merged.count() == 101
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in merged.filter(F.col("k").isin(10, 1000, 20, 60)).collect()
+    }
+    assert got == {
+        10: (999.0, "x"),       # updated row carries the new column
+        1000: (111.0, "y"),     # inserted row carries it
+        20: (20.0, None),       # un-updated row in the REWRITTEN partition
+        60: (60.0, None),       # row in the untouched old-schema partition
+    }
+
+
+def test_partitioned_upsert_without_evolve_rejects_new_column(spark, tmp_path):
+    """Default (evolve_schema=False) keeps strict-pipeline semantics:
+    silent schema drift must fail loudly, not widen the table."""
+    import pytest
+
+    base = spark.createDataFrame([(1, "A", 1.0)], ["k", "part", "v"])
+    path = str(tmp_path / "snap")
+    write_parquet(base, path, partition_by=["part"])
+    incoming = spark.createDataFrame(
+        [(1, "A", 2.0, "x")], ["k", "part", "v", "tag"]
+    )
+    with pytest.raises(Exception):
+        upsert_parquet_partitioned(
+            spark, incoming, path, keys=["k"], partition_col="part"
+        )

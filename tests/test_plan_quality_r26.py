@@ -7,7 +7,7 @@ EMA's day-dimension join broadcasts with exact-decimal weights.
 
 from __future__ import annotations
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import functions as F
 
@@ -138,6 +138,10 @@ def test_ema_matches_bruteforce_pandas(spark):
             if d2 in rev:
                 num += weights[lag] * rev[d2]
                 den += weights[lag]
+        # Mirror the production entry (catalog_r26.py): the exact
+        # decimal numerator is round(4)ed (HALF_UP) BEFORE the double
+        # cast so its scaled integer stays under 2^53 at sf1.
+        num = num.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
         expect = float(num) / float(den)  # unrounded single division
         assert abs(daily[day]["ema20"] - expect) < 1e-9
 

@@ -64,3 +64,26 @@ def test_feature_kernel_digest_fallback_for_other_formats():
     feats = _decode_image(b"\x89PNG fake bytes")
     assert len(feats) == 8
     assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_decoder_rejects_zero_area():
+    # 3*w*h = 0 would pass the pixel-length check with an empty rgb
+    # slice, and downstream channel means then divide by n = 0.
+    for payload in (b"P6\n0 2\n255\n", b"P6\n2 0\n255\n"):
+        with pytest.raises(ValueError):
+            decode_ppm(payload)
+
+
+def test_feature_kernel_text_starting_p6_takes_digest_path():
+    # A document whose utf-8 text happens to start with "P6 " (a
+    # plausible F1 position token) must get the same digest feature
+    # as any other text - never a codec error or pixel means.
+    import hashlib
+
+    text = "P6 was the final classified position for Alonso".encode()
+    feats = _decode_image(text)
+    digest = hashlib.sha256(text).digest()
+    assert feats == [b / 255.0 for b in digest[:8]]
+    # Bare "P6" glued to a non-space char fails the sniff outright.
+    feats2 = _decode_image(b"P6finished ahead of P7")
+    assert len(feats2) == 8
