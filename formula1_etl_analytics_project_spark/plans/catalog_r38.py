@@ -1,5 +1,4 @@
-"""Round-38 catalog entry (round 7) - schema-evolution MERGE, the J3
-family's untested seam closed:
+"""Round-38 catalog entries (round 7):
 
 * `upsert_schema_evolution` - a partitioned MERGE whose incoming
   batch carries a column the snapshot has never seen. The reference's
@@ -12,6 +11,13 @@ family's untested seam closed:
   touched partitions are rewritten with the widened schema, untouched
   partition directories keep their old files, and the read side
   unifies them with NULL-fill.
+
+* `sql_surface_q11` / `sql_surface_q16` / `sql_surface_q20` - the
+  last three TPC-H query shapes the SQL surface lacked (q1,3-10,
+  12-15,17-19,21,22 exist; q2 is `cheapest_supplier_per_part`).
+  The testdata has no partsupp table, so - like the existing q2/q21
+  adaptations - the part-supplier relationship is derived from
+  lineitem. Identical SQL text through spark.sql and DuckDB.
 
 Importing this module registers everything into catalog.CATALOG.
 """
@@ -105,3 +111,138 @@ def q_upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("priority_code").alias("n_tagged"),
         F.sum("priority_code").alias("sum_tag"),
     )
+
+
+# ===========================================================================
+# TPC-H Q11 shape: HAVING-against-scalar-subquery (important part value)
+# ===========================================================================
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS v
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey < 5
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(ROUND(v, 2) AS DOUBLE) >
+      (SELECT CAST(ROUND(SUM(v), 2) AS DOUBLE) / COUNT(*) FROM val)
+      * CAST(2.0 AS DOUBLE)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+@_register("sql_surface_q11", _Q11_SQL, tags=("sql", "join", "agg"))
+def q_sql_surface_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important part value): per-part revenue from
+    a nation group's suppliers, kept only where it exceeds twice the
+    AVERAGE part value - the aggregate-filtered-by-global-aggregate
+    pattern (partsupp value adapted to lineitem revenue; no partsupp
+    table in this schema; Q11's fixed fraction-of-total is scaled by
+    1/SF in TPC-H for exactly the reason it fails here - per-part
+    share shrinks as the part count grows - so the scale-invariant
+    average-multiple threshold replaces it). Identical SQL text both
+    engines. Spark plans the scalar subquery as a one-row broadcast;
+    the CTE's join + agg is computed per consumer (no CSE across the
+    subquery boundary - inherent to the shape, same as q22's
+    twice-scanned customer).
+
+    Numeric portability: per-row double product (IEEE, bit-identical)
+    -> exact DECIMAL(30,4) sums, ROUND(_, 2) HALF_UP, ONE double cast,
+    ONE IEEE division by the bigint count, ONE IEEE multiply - every
+    post-decimal step a single deterministic double op in both
+    engines; the 2^53 scaled-integer cliff stays ~2 decades away even
+    at sf1 (total ~1e11 * 100 < 2^53)."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# ===========================================================================
+# TPC-H Q16 shape: COUNT(DISTINCT) + NOT IN exclusion subquery
+# ===========================================================================
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (2, 5, 11, 19, 28, 37, 42, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@_register("sql_surface_q16", _Q16_SQL, tags=("sql", "join", "agg"))
+def q_sql_surface_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size) after excluding a
+    supplier denylist via NOT IN (the complaints predicate adapted to
+    negative account balance; supplier-part pairs derived from
+    lineitem - no partsupp table). Identical SQL text both engines.
+    Spark rewrites the NOT IN as a null-aware anti join (s_suppkey is
+    non-null, so it degenerates to a plain broadcast anti join) and
+    the COUNT(DISTINCT) as a two-phase partial/final aggregate -
+    distinct-expand stays on the (brand,type,size,suppkey) grain,
+    bounded by |parts| x |suppliers|, never the lineitem row count."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# ===========================================================================
+# TPC-H Q20 shape: IN over a grouped-HAVING subquery (dominant supplier)
+# ===========================================================================
+
+_Q20_SQL = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM pq GROUP BY l_partkey
+)
+SELECT s.s_name, CAST(s.s_nationkey AS INT) AS s_nationkey
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT pq.l_suppkey FROM pq JOIN tot USING (l_partkey)
+  WHERE 2 * pq.qty > tot.total_qty
+)
+ORDER BY s.s_name
+"""
+
+
+@_register("sql_surface_q20", _Q20_SQL, tags=("sql", "join", "agg"))
+def q_sql_surface_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    DOMINATED shipments of a part family in a year - an IN whose
+    subquery is itself a grouped aggregate joined against a per-part
+    total (availqty > half-of-shipped adapted: this supplier moved
+    more than half the part's 1997 volume; quantities are integral,
+    so `2*qty > total` is exact BIGINT arithmetic - no fraction, no
+    float). Identical SQL text both engines. Spark plans the IN as a
+    left-semi join; pq aggregates on the bounded (part, supplier)
+    grain and tot rides pq's partitioning (one narrow re-agg), so
+    nothing after the first GROUP BY is lineitem-sized."""
+    from formula1_etl_analytics_project_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
