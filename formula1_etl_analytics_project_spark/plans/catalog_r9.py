@@ -191,14 +191,15 @@ WITH u AS (
          l_extendedprice / l_quantity AS unit_price
   FROM lineitem
 ), m AS (
-  SELECT l_partkey,
-         min(struct_pack(u := unit_price, k := l_suppkey)) AS mn
+  SELECT l_partkey, MIN(unit_price) AS unit_price
   FROM u GROUP BY l_partkey
 )
-SELECT l_partkey AS partkey,
-       mn.k AS cheapest_suppkey,
-       mn.u AS unit_price
-FROM m
+SELECT u.l_partkey AS partkey,
+       MIN(u.l_suppkey) AS cheapest_suppkey,
+       m.unit_price
+FROM u JOIN m ON u.l_partkey = m.l_partkey
+             AND u.unit_price = m.unit_price
+GROUP BY u.l_partkey, m.unit_price
 """
 
 
@@ -206,17 +207,27 @@ FROM m
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest supplier per part (TPC-H Q2's core) via lexicographic
     MIN over a (price, suppkey) struct - the AGGREGATION form of
-    argmin: one partial+final hash aggregation, no window, no
-    per-group sort, which at 100 TB beats the row_number form by the
-    whole sort (min_by/arg_min would also work but are
-    tie-NONDETERMINISTIC; the struct's suppkey component makes ties
-    break identically in both engines). unit_price is one double
-    division per row - bit-identical inputs, bit-identical result -
-    and is emitted UNROUNDED: quantity is often a power of two, so
-    unit prices land EXACTLY on .5 at the rounding digit, where Spark
-    (HALF_UP) and DuckDB (HALF_EVEN) disagree - the sf0.1 sweep
-    caught 4 such parts that sf0.01 never produced. The raw double is
-    deterministic; rounding here would be the bug."""
+    argmin: one partial+final aggregation, no window, no per-group
+    sort, which at 100 TB beats the row_number form by the whole sort
+    (min_by/arg_min would also work but are tie-NONDETERMINISTIC; the
+    struct's suppkey component makes ties break identically in both
+    engines). unit_price is one double division per row -
+    bit-identical inputs, bit-identical result - and is emitted
+    UNROUNDED: quantity is often a power of two, so unit prices land
+    EXACTLY on .5 at the rounding digit, where Spark (HALF_UP) and
+    DuckDB (HALF_EVEN) disagree - the sf0.1 sweep caught 4 such parts
+    that sf0.01 never produced. The raw double is deterministic;
+    rounding here would be the bug.
+
+    The ORACLE restates the same argmin WITHOUT a struct aggregate:
+    DuckDB's grouped min(struct_pack(...)) allocates unboundedly at
+    sf1 row counts (>100 GB for 6M rows, sailing past its own
+    memory_limit; bisected round 7 - the round-6 sweep's 'Spark-side
+    error' on this entry was collateral of that dying process, the
+    Spark side runs 6M rows in seconds at 153 MB). The min-price
+    self-join + MIN(suppkey) tie-break is exactly equivalent: rows
+    achieving the group's bitwise-min double, then the smallest
+    suppkey among them - the struct order (u, k) restated."""
     li = read_table(spark, sf_dir, "lineitem")
     u = li.select(
         "l_partkey",
