@@ -280,7 +280,17 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 4.7% of the pair space on this corpus - then candidates
     verify with the exact Jaccard. The oracle restates the identical
     prefix construction; both sides are lossless, so the result set
-    is the full ground truth either way."""
+    is the full ground truth either way.
+
+    Measured sf1 footprint (round-7 isolated run): ~44 GiB peak
+    transient spill with a skewed 2-task long tail, completing in
+    ~12 min on local[32] with 250,600 output rows - IDENTICAL
+    cardinality to the ids-then-fetch deployment twin
+    `prefix_jaccard_pairs_df` (11.9 MiB exchange), whose plan is the
+    one to ship; this lex form exists to demo the arrays-through
+    shape and priced exactly that 3,700x spill gap. The r06 sweep's
+    'No space left on device' was this spill landing on a disk the
+    cumulative 301-entry sweep had already filled."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     return prefix_jaccard_pairs(
         docs, shingle_k=3, threshold=0.5
@@ -359,7 +369,15 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and the output is one row of integer counts + the recall
     ratio, trivially hashable cross-engine. n_missed > 0 at some
     scales is EXPECTED (banding trades recall for candidate volume);
-    the point is that the trade is measured, not assumed."""
+    the point is that the trade is measured, not assumed.
+
+    Measured sf1 footprint (round-7 isolated run): ~14 GiB peak
+    transient spill (two prefix-join executions feed the truth and
+    LSH pair sets), one-row output, completing in ~13 min on
+    local[32]; its r06 'Spark error' was the shared sweep's disk
+    exhaustion, not this plan. The exact-truth join is an EVAL-only
+    artifact - production dedup ships the banded LSH path whose
+    recall this entry certifies."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     # truth feeds TWO consumers (the semi-join and its own count);
     # without a boundary the whole prefix-filtered join re-executes

@@ -278,7 +278,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, not a window: one partial+final hash agg on the
     fingerprint, no per-group sort, and partial aggregation collapses
     each group map-side before the shuffle - at 100 TB only one
-    candidate row per (partition, fingerprint) crosses the wire."""
+    candidate row per (partition, fingerprint) crosses the wire.
+
+    Oracle note: DuckDB's grouped max(struct_pack(...)) allocates
+    ~20 KB per input ROW (the cheapest_supplier_per_part bisection,
+    round 7); at this entry's 50k-doc sf1 grain that is ~1 GB -
+    fine - but restate it join-style (catalog_r9._CHEAPEST_SQL)
+    before pointing it at a table with millions of rows."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     fp = docs.select(
         "doc_id",
