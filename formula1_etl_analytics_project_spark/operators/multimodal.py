@@ -124,23 +124,22 @@ def _decode_image(payload: bytes) -> list[float]:
     if payload is None:
         raise NotImplementedError("image decode requires a codec library")
     payload = bytes(payload)
-    if payload[:2] == b"P6" and payload[2:3].isspace():
-        try:
-            width, height, rgb = decode_ppm(payload)
-        except ValueError:
-            # Sniff passed but the header does not parse (e.g. utf-8
-            # text that merely starts "P6 "): fall back to the digest
-            # feature rather than failing - keeps the branch choice a
-            # pure function of decodability, not of a 2-byte prefix.
-            pass
-        else:
-            n = width * height
-            feats = [
-                sum(rgb[c::3]) / (255.0 * n) for c in range(3)
-            ]  # mean r, g, b in [0, 1]
-            return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    try:
+        # decode_ppm owns the single copy of the codec-commit
+        # predicate (magic + whitespace sniff, parseable header,
+        # positive dims); anything it rejects - including utf-8 text
+        # that merely starts "P6 " - falls back to the digest feature.
+        # Duplicating the sniff here is how the original 2-byte-prefix
+        # divergence happened.
+        width, height, rgb = decode_ppm(payload)
+    except ValueError:
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    n = width * height
+    feats = [
+        sum(rgb[c::3]) / (255.0 * n) for c in range(3)
+    ]  # mean r, g, b in [0, 1]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
 def ppm_pixel_stats(df: DataFrame) -> DataFrame:

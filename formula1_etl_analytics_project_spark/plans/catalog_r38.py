@@ -105,6 +105,12 @@ def q_upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolve_schema=True,
     )
     merged = spark.read.option("mergeSchema", True).parquet(snap)
+    if "priority_code" not in merged.columns:
+        # Total function: with an empty incoming batch no written file
+        # carries the evolved column, so the mergeSchema scan has
+        # nothing to unify - degrade to all-NULL (n_tagged = 0, the
+        # oracle's restatement) instead of an unresolved-column error.
+        merged = merged.withColumn("priority_code", F.lit(None).cast("long"))
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         _dsum(F.col("o_totalprice"), "total_price"),

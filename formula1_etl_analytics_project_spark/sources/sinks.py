@@ -577,8 +577,18 @@ def upsert_parquet_partitioned(
         r[0] for r in incoming.select(partition_col).distinct().collect()
     ]
     try:
-        existing = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(parts)
+        # Under evolve_schema the lake may already be mixed-schema
+        # from a PRIOR evolving merge (only touched partitions carry
+        # new columns). A plain read picks its schema from an
+        # arbitrary file footer; if an old-schema file wins, the
+        # evolved column vanishes from `existing` and this merge
+        # would rewrite its partitions with the stored values
+        # NULLed out - silent data loss. mergeSchema unifies the
+        # footers so previously-evolved columns always survive.
+        existing = (
+            spark.read.option("mergeSchema", evolve_schema)
+            .parquet(path)
+            .filter(F.col(partition_col).isin(parts))
         )
         existing.head(1)
     except Exception:

@@ -237,3 +237,42 @@ def test_partitioned_upsert_without_evolve_rejects_new_column(spark, tmp_path):
         upsert_parquet_partitioned(
             spark, incoming, path, keys=["k"], partition_col="part"
         )
+
+
+def test_partitioned_upsert_second_evolving_merge_preserves_values(
+    spark, tmp_path
+):
+    """A SECOND evolve_schema merge on the mixed lake must read the
+    snapshot with mergeSchema: a plain read picks its schema from an
+    arbitrary footer, and when an old-schema file wins the evolved
+    column's stored values get NULLed out in the rewritten
+    partitions - silent data loss (round-7 review finding)."""
+    base = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", float(i)) for i in range(100)],
+        ["k", "part", "v"],
+    )
+    path = str(tmp_path / "snap")
+    write_parquet(base, path, partition_by=["part"])
+
+    first = spark.createDataFrame(
+        [(10, "A", 999.0, "x")], ["k", "part", "v", "tag"]
+    )
+    upsert_parquet_partitioned(
+        spark, first, path, keys=["k"], partition_col="part",
+        evolve_schema=True,
+    )
+    # second evolving merge touches A again with a DIFFERENT key; the
+    # stored tag of k=10 must survive the partition rewrite
+    second = spark.createDataFrame(
+        [(11, "A", 111.0, "y")], ["k", "part", "v", "tag"]
+    )
+    upsert_parquet_partitioned(
+        spark, second, path, keys=["k"], partition_col="part",
+        evolve_schema=True,
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    got = {
+        r["k"]: r["tag"]
+        for r in merged.filter(F.col("k").isin(10, 11, 60)).collect()
+    }
+    assert got == {10: "x", 11: "y", 60: None}
